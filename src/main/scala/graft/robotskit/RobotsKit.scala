@@ -1,0 +1,171 @@
+package graft.robotskit
+
+/**
+ * robots.txt matcher reproducing the observable semantics of the
+ * `robotstxt` 0.3.0 crate (a Rust port of Google's C++ robots.txt matcher)
+ * as used by the reference:
+ * `DefaultMatcher::one_agent_allowed_by_robots(robots, "MikesCrawler", url)`
+ * (/root/reference/src/crawler.rs:223-231, UA at src/http_client.rs:10).
+ *
+ * Semantics implemented (Google matcher, REP draft):
+ *  - groups = runs of user-agent lines followed by allow/disallow rules;
+ *    a user-agent line after rules starts a new group
+ *  - agent matching: the line value's leading product token ([A-Za-z_-]*)
+ *    compared case-insensitively to the crawler's UA token; `*` is global
+ *  - if any specific group exists, global (`*`) groups are ignored entirely
+ *  - longest-match wins across allow & disallow; allow wins ties
+ *  - `*` multi-char wildcard anywhere; `$` anchors only at pattern end
+ *  - key names tolerate common typos (dissallow etc.) and "user agent"
+ *  - empty/無 pattern rules match nothing; no robots → allow everything
+ *
+ * Plus one extension the north-star politeness scheduler needs (not in the
+ * matcher): `crawlDelay` extraction with the same group selection.
+ */
+object RobotsKit {
+
+  final case class Rule(allow: Boolean, pattern: String)
+
+  final case class Parsed(
+      specific: Vector[Rule], // rules from groups naming our UA
+      global: Vector[Rule],   // rules from `*` groups
+      hasSpecific: Boolean,
+      specificCrawlDelay: Option[Double],
+      globalCrawlDelay: Option[Double]
+  ) {
+    def effectiveRules: Vector[Rule] = if (hasSpecific) specific else global
+    def crawlDelay: Option[Double] =
+      if (hasSpecific) specificCrawlDelay else globalCrawlDelay
+  }
+
+  /** Leading product token, as Google's ExtractUserAgent: [A-Za-z_-]*. */
+  def extractUserAgent(s: String): String =
+    s.takeWhile(c => c.isLetter || c == '-' || c == '_')
+
+  def parse(robots: String, userAgent: String): Parsed = {
+    val uaToken = extractUserAgent(userAgent).toLowerCase
+    var specific = Vector.newBuilder[Rule]
+    var global = Vector.newBuilder[Rule]
+    var hasSpecific = false
+    var specificDelay: Option[Double] = None
+    var globalDelay: Option[Double] = None
+
+    var inSpecific = false
+    var inGlobal = false
+    var lastWasUserAgent = false
+
+    // strip a UTF-8 BOM if the body starts with one
+    val body = if (robots.startsWith("﻿")) robots.substring(1) else robots
+
+    body.linesIterator.foreach { rawLine =>
+      // comments start at '#'
+      val hash = rawLine.indexOf('#')
+      val line = (if (hash >= 0) rawLine.substring(0, hash) else rawLine).trim
+      if (line.nonEmpty) {
+        val colon = line.indexOf(':')
+        if (colon > 0) {
+          val key = line.substring(0, colon).trim.toLowerCase
+          val value = line.substring(colon + 1).trim
+          key match {
+            case "user-agent" | "useragent" | "user agent" =>
+              if (!lastWasUserAgent) { inSpecific = false; inGlobal = false }
+              lastWasUserAgent = true
+              if (value == "*") inGlobal = true
+              else if (extractUserAgent(value).toLowerCase == uaToken && uaToken.nonEmpty) {
+                inSpecific = true
+                hasSpecific = true
+              }
+            case "allow" | "disallow" | "dissallow" | "dissalow" | "disalow" | "diasllow" | "disallaw" =>
+              lastWasUserAgent = false
+              val allow = key == "allow"
+              if (value.nonEmpty) {
+                if (inSpecific) specific += Rule(allow, value)
+                if (inGlobal) global += Rule(allow, value)
+              }
+            case "crawl-delay" | "crawldelay" =>
+              lastWasUserAgent = false
+              val d = try Some(value.toDouble) catch { case _: NumberFormatException => None }
+              d.filter(_ >= 0).foreach { v =>
+                if (inSpecific && specificDelay.isEmpty) specificDelay = Some(v)
+                if (inGlobal && globalDelay.isEmpty) globalDelay = Some(v)
+              }
+            case _ =>
+              lastWasUserAgent = false
+          }
+        }
+      }
+    }
+    Parsed(specific.result(), global.result(), hasSpecific, specificDelay, globalDelay)
+  }
+
+  /** Google wildcard match: '*' anywhere, '$' anchor at pattern end only. */
+  def patternMatches(pattern0: String, path: String): Boolean = {
+    var pattern = pattern0
+    var anchored = false
+    if (pattern.endsWith("$")) { anchored = true; pattern = pattern.substring(0, pattern.length - 1) }
+    val parts = pattern.split("\\*", -1)
+    var pos = 0
+    var first = true
+    var i = 0
+    while (i < parts.length) {
+      val part = parts(i)
+      val isLast = i == parts.length - 1
+      if (first) {
+        if (!path.startsWith(part)) return false
+        pos = part.length
+        first = false
+      } else if (isLast && anchored) {
+        // last literal chunk must sit at the end
+        return path.length >= pos + part.length && path.endsWith(part)
+      } else {
+        val idx = path.indexOf(part, pos)
+        if (idx < 0) return false
+        pos = idx + part.length
+      }
+      i += 1
+    }
+    if (anchored) pos == path.length || (parts.length > 1 && parts.last.isEmpty)
+    else true
+  }
+
+  /** The path Google matches rules against: path + "?query", no fragment. */
+  def pathParamsQuery(url: String): String = {
+    var s = url
+    val frag = s.indexOf('#')
+    if (frag >= 0) s = s.substring(0, frag)
+    val schemeIdx = s.indexOf("://")
+    val afterHost =
+      if (schemeIdx >= 0) {
+        val slash = s.indexOf('/', schemeIdx + 3)
+        val q = s.indexOf('?', schemeIdx + 3)
+        if (slash >= 0 && (q < 0 || slash < q)) s.substring(slash)
+        else if (q >= 0) "/" + s.substring(q)
+        else "/"
+      } else if (s.startsWith("/")) s
+      else "/"
+    afterHost
+  }
+
+  /** Equivalent of `one_agent_allowed_by_robots(robots, ua, url)`. */
+  def allowed(robots: String, userAgent: String, url: String): Boolean = {
+    val parsed = parse(robots, userAgent)
+    allowedByRules(parsed.effectiveRules, pathParamsQuery(url))
+  }
+
+  def allowedByRules(rules: Vector[Rule], path: String): Boolean = {
+    var bestAllow = -1
+    var bestDisallow = -1
+    rules.foreach { r =>
+      if (patternMatches(r.pattern, path)) {
+        val prio = r.pattern.length
+        if (r.allow) { if (prio > bestAllow) bestAllow = prio }
+        else if (prio > bestDisallow) bestDisallow = prio
+      }
+    }
+    // disallowed only when the disallow match is strictly longer (allow ties win)
+    !(bestDisallow > bestAllow)
+  }
+
+  /** Crawl-delay (seconds) for the UA, for the politeness scheduler. */
+  def crawlDelay(robots: String, userAgent: String): Option[Double] =
+    parse(robots, userAgent).crawlDelay
+}
