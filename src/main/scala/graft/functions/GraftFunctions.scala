@@ -1,0 +1,97 @@
+package graft.functions
+
+import graft.htmlkit.HtmlKit
+import graft.httpkit.HttpKit
+import graft.robotskit.RobotsKit
+import graft.urlkit.UrlKit
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions.udf
+
+/**
+ * Column-level functions over the pure kits (UrlKit F1-F5, HtmlKit F7,
+ * RobotsKit P4, HttpKit S2 — SURVEY.md §2). Scala UDFs first (correct,
+ * null-safe via Option); hot ones can be promoted to codegen Expressions
+ * later without changing call sites.
+ */
+object GraftFunctions {
+
+  final case class LinkOut(pos: Int, url: String, internal: Boolean)
+  final case class ClassifiedOut(
+      kind: String, status: Option[Int], body: Option[String],
+      content_type: Option[String], location: Option[String], error: Option[String])
+
+  val url_canonicalize: UserDefinedFunction = udf((s: String) =>
+    Option(s).flatMap(UrlKit.canonicalize))
+
+  val url_join: UserDefinedFunction = udf((base: String, href: String) =>
+    (Option(base), Option(href)) match {
+      case (Some(b), Some(h)) => UrlKit.joinStr(b, h)
+      case _                  => None
+    })
+
+  val url_domain: UserDefinedFunction = udf((s: String) =>
+    Option(s).flatMap(UrlKit.domainStr))
+
+  val url_strip_fragment: UserDefinedFunction = udf((s: String) =>
+    Option(s).map(UrlKit.stripFragmentStr))
+
+  /** authority (host[:port]) — the politeness/partitioning key. */
+  val url_host: UserDefinedFunction = udf((s: String) =>
+    Option(s).flatMap(u => UrlKit.parse(u).toOption).flatMap(u =>
+      u.host.map(h => h.serialize + u.port.map(":" + _).getOrElse(""))))
+
+  /** Same-domain predicate with the reference's None==None quirk (P2/P5). */
+  val url_same_domain: UserDefinedFunction = udf((a: String, b: String) =>
+    (Option(a), Option(b)) match {
+      case (Some(x), Some(y)) => Some(UrlKit.sameDomain(x, y))
+      case _                  => None
+    })
+
+  val http_classify: UserDefinedFunction = udf((url: String, bytes: Array[Byte]) => {
+    val c = HttpKit.classify(url, bytes)
+    ClassifiedOut(c.kind, c.status, c.body, c.contentType, c.location, c.error)
+  })
+
+  val extract_links: UserDefinedFunction = udf((pageUrl: String, body: String) =>
+    (Option(pageUrl), Option(body)) match {
+      case (Some(u), Some(b)) =>
+        HtmlKit.extractLinksStr(u, b).map(l => LinkOut(l.pos, l.url, l.internal))
+      case _ => Vector.empty[LinkOut]
+    })
+
+  /** text of a raw-HTTP-bytes page (null for non-HTML rows). */
+  val extract_text_http: UserDefinedFunction = udf((bytes: Array[Byte]) =>
+    Option(bytes).flatMap { b =>
+      HttpKit.parseResponse(b) match {
+        case Some(r) if r.status >= 200 && r.status < 300 &&
+          r.header("Content-Type").flatMap(HttpKit.essence).contains("text/html") =>
+          Some(HtmlKit.extractText(r.bodyString))
+        case _ => None
+      }
+    })
+
+  /** text of a plain HTML string. */
+  val extract_text: UserDefinedFunction = udf((html: String) =>
+    Option(html).map(HtmlKit.extractText))
+
+  val robots_allowed: UserDefinedFunction = udf((robots: String, ua: String, url: String) =>
+    (Option(ua), Option(url)) match {
+      case (Some(a), Some(u)) => Some(Option(robots).forall(r => RobotsKit.allowed(r, a, u)))
+      case _                  => None
+    })
+
+  def registerAll(spark: SparkSession): Unit = {
+    spark.udf.register("url_canonicalize", url_canonicalize)
+    spark.udf.register("url_join", url_join)
+    spark.udf.register("url_domain", url_domain)
+    spark.udf.register("url_strip_fragment", url_strip_fragment)
+    spark.udf.register("url_host", url_host)
+    spark.udf.register("url_same_domain", url_same_domain)
+    spark.udf.register("http_classify", http_classify)
+    spark.udf.register("extract_links", extract_links)
+    spark.udf.register("extract_text_http", extract_text_http)
+    spark.udf.register("extract_text", extract_text)
+    spark.udf.register("robots_allowed", robots_allowed)
+  }
+}

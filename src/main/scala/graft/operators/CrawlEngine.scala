@@ -1,0 +1,518 @@
+package graft.operators
+
+import graft.htmlkit.HtmlKit
+import graft.httpkit.HttpKit
+import graft.robotskit.RobotsKit
+import graft.sources.TableIO
+import graft.urlkit.UrlKit
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import org.apache.spark.util.sketch.BloomFilter
+
+/**
+ * The distributed URL frontier — the Spark-native reimplementation of the
+ * reference's crawl fixpoint (/root/reference/src/crawler.rs:332-382,
+ * 212-329) per the BASELINE.json north rule.
+ *
+ * One crawl round ≙ one micro-batch:
+ *
+ *   frontier_r (Dataset, persisted)
+ *     → per-host politeness budget (window rank over depth,url within host;
+ *       robots Crawl-delay honored; deferred rows stay in the frontier)
+ *     → fetch: join against the pages table on url (frontier broadcast to
+ *       stream the big table when small; shuffle join + AQE otherwise)
+ *     → classify raw HTTP bytes (http_client.rs:64-94 semantics)
+ *     → tokenize + extract links in one mapPartitions pass (document order,
+ *       duplicates preserved; link_extractor.rs:26-62)
+ *     → candidates: fragment-stripped internal links (crawler.rs:276-279)
+ *       + same-domain redirect targets, NOT stripped (crawler.rs:297-309)
+ *     → intra-round dedup + Bloom-prefiltered anti-join against `seen`
+ *       (exactness from the anti-join; the Bloom filter — per-round build
+ *       via treeAggregate, merged on the driver, broadcast — only routes
+ *       definitely-new urls around the join; crawler.rs:233-246 / D1)
+ *     → robots gate at enqueue time: denied urls recorded as
+ *       ExcludedByRobotsTxt, never fetched (crawler.rs:223-243 / P4)
+ *     → checkpoint commit (results_r, new-seen increment, frontier_{r+1},
+ *       counters + lineage) via TableIO — kill between commits resumes
+ *       exactly from the last committed round
+ *   until the frontier is empty  (≙ pages.len()==seen.len(), crawler.rs:342)
+ *
+ * Crawl identity: the engine runs MANY crawls in one job (`seeds`), the
+ * north-star generalization of the reference's one-seed API. Each frontier
+ * row carries its `seed`; seen/dedup/robots are scoped per seed exactly as
+ * one reference crawl is (crawler.rs:204: per-crawl seen set; :353: robots
+ * fetched once for the seed's host).
+ */
+final case class CrawlConfig(
+    userAgent: String = "MikesCrawler",
+    /** per-host fetches per round before politeness defers (Int.MaxValue = off) */
+    perHostBudgetPerRound: Int = Int.MaxValue,
+    /** wall-clock seconds a round "represents" for Crawl-delay budgeting */
+    roundSeconds: Double = 30.0,
+    maxRounds: Int = 10000,
+    bloomExpectedInsertions: Long = 4L * 1000 * 1000,
+    bloomFpp: Double = 0.01,
+    /** below this many seen urls the Bloom pre-filter isn't worth building */
+    bloomMinSeen: Long = 10000L,
+    /** frontier row-count under which the fetch join broadcasts the frontier */
+    broadcastFrontierMaxRows: Long = 2L * 1000 * 1000,
+    checkpointEvery: Int = 1
+)
+
+final case class RoundCounters(
+    round: Int, fetched: Long, discovered: Long, deduped: Long,
+    robotsDenied: Long, deferred: Long, done: Long, todo: Long)
+
+object CrawlEngine {
+  /** result_type values — serde external tags of PageResult (crawler.rs:30-79). */
+  val ServerFailure = "ServerFailure"
+  val Error = "Error"
+  val Redirect = "Redirect"
+  val Crawled = "Crawled"
+  val OtherContent = "OtherContent"
+  val Excluded = "ExcludedByRobotsTxt"
+
+  private[operators] final case class FrontierRow(seed: String, url: String, host: String, depth: Int)
+  private[operators] final case class StepIn(seed: String, url: String, host: String, depth: Int, html: Array[Byte])
+  private[operators] final case class StepOut(
+      seed: String, url: String, depth: Int,
+      result_type: String, status: Option[Int], body: Option[String],
+      location: Option[String], content_type: Option[String], error: Option[String],
+      internal_links: Option[Seq[String]], external_links: Option[Seq[String]],
+      candidates: Seq[String])
+
+  /** Pure per-url step (crawler.rs:261-329), minus the robots gate which is
+    * applied to candidates after dedup, as the reference's add_link does. */
+  private[operators] def step(in: StepIn): StepOut = {
+    val c = HttpKit.classify(in.url, in.html)
+    c.kind match {
+      case HttpKit.Kind.Html =>
+        val links = HtmlKit.extractLinksStr(in.url, c.body.getOrElse(""))
+        val internal = links.filter(_.internal).map(_.url)
+        val external = links.filterNot(_.internal).map(_.url)
+        // enqueue-keys: fragment-stripped internal links (crawler.rs:276-279);
+        // the recorded arrays keep their fragments
+        val candidates = internal.map(UrlKit.stripFragmentStr)
+        StepOut(in.seed, in.url, in.depth, Crawled, None, None, None, None, None,
+          Some(internal), Some(external), candidates)
+      case HttpKit.Kind.Redirect =>
+        val target = c.location.get
+        // follow only same-domain redirects — null-safe domain equality
+        // including the None==None IP quirk (crawler.rs:299-302)
+        val follow = UrlKit.sameDomain(in.url, target)
+        StepOut(in.seed, in.url, in.depth, Redirect, c.status, None, Some(target), None, None,
+          None, None, if (follow) Seq(target) else Seq.empty)
+      case HttpKit.Kind.Other =>
+        StepOut(in.seed, in.url, in.depth, OtherContent, None, None, None, c.contentType, None,
+          None, None, Seq.empty)
+      case HttpKit.Kind.Failure =>
+        StepOut(in.seed, in.url, in.depth, ServerFailure, c.status, c.body, None, None, None,
+          None, None, Seq.empty)
+      case _ =>
+        StepOut(in.seed, in.url, in.depth, Error, None, None, None, None, c.error,
+          None, None, Seq.empty)
+    }
+  }
+
+  private def hostOf(url: String): String =
+    UrlKit.parse(url).toOption.flatMap(u =>
+      u.host.map(h => h.serialize + u.port.map(":" + _).getOrElse(""))).getOrElse("")
+
+  final class CrawlFailedException(val seed: String, msg: String) extends RuntimeException(msg)
+}
+
+final class CrawlEngine(
+    spark: SparkSession,
+    pages: DataFrame,
+    cfg: CrawlConfig = CrawlConfig(),
+    checkpointDir: String = null
+) extends Serializable {
+  import CrawlEngine._
+  import spark.implicits._
+
+  private val ckptDir: String = Option(checkpointDir).getOrElse {
+    java.nio.file.Files.createTempDirectory("graft-crawl-").toString
+  }
+
+  // explicit column pruning: the fetch join only ever needs (url, html)
+  private val pagesSlim = pages.select(col("url"), col("html"))
+
+  /** Reference single-seed API: GET /crawl/{seed} (api.rs:119-135). */
+  def crawl(seed: String): CrawlRun = crawlAll(Seq(seed))
+
+  def crawlAll(seedInputs: Seq[String]): CrawlRun = {
+    // parse + canonicalize seeds; a bad seed fails fast (api.rs:40-49 → 400)
+    val seeds: Seq[graft.urlkit.Url] = seedInputs.map { s =>
+      UrlKit.parse(s).fold(
+        e => throw new IllegalArgumentException(s"invalid seed url $s: $e"),
+        identity)
+    }
+    val seedStrs = seeds.map(_.serialize)
+
+    // robots prefetch: one lookup per seed against the pages table
+    val robotsUrls = seeds.map(s => s.join("/robots.txt").fold(
+      e => throw new IllegalArgumentException(s"cannot derive robots url: $e"),
+      _.serialize))
+    val robotsByUrl: Map[String, Array[Byte]] = pagesSlim
+      .filter(col("url").isin(robotsUrls: _*))
+      .collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1))
+      .toMap
+
+    var failures = Map.empty[String, String]
+    var robotsRules = Map.empty[String, Vector[RobotsKit.Rule]] // seed → effective rules
+    var crawlDelays = Map.empty[String, Option[Double]]
+    seedStrs.zip(robotsUrls).foreach { case (seed, rUrl) =>
+      robotsByUrl.get(rUrl) match {
+        case None => // absent row ≙ 404 ≙ no rules (FIXTURES.md contract)
+          robotsRules += seed -> Vector.empty
+          crawlDelays += seed -> None
+        case Some(bytes) =>
+          HttpKit.parseResponse(bytes) match {
+            case Some(r) if r.status >= 200 && r.status < 300 =>
+              val parsed = RobotsKit.parse(r.bodyString, cfg.userAgent)
+              robotsRules += seed -> parsed.effectiveRules
+              crawlDelays += seed -> parsed.crawlDelay
+            case Some(r) if r.status == 404 =>
+              robotsRules += seed -> Vector.empty
+              crawlDelays += seed -> None
+            case Some(r) =>
+              failures += seed -> s"Got status ${r.status} for robots.txt"
+            case None =>
+              failures += seed -> "Malformed robots.txt response"
+          }
+      }
+    }
+    val liveSeeds = seedStrs.filterNot(failures.contains)
+
+    // seed add_link (crawler.rs:355 → :233-246): seen-insert + robots gate
+    val seedRows = liveSeeds.map(s => FrontierRow(s, s, hostOf(s), 0))
+    val (allowedSeeds, deniedSeeds) = seedRows.partition(r =>
+      RobotsKit.allowedByRules(robotsRules(r.seed), RobotsKit.pathParamsQuery(r.url)))
+
+    val frontier0 = spark.createDataset(allowedSeeds).toDF()
+    val seen0 = spark.createDataset(seedRows.map(r => (r.seed, r.url))).toDF("seed", "url")
+    val excluded0 = spark.createDataset(deniedSeeds.map(r =>
+      StepOut(r.seed, r.url, 0, Excluded, None, None, None, None, None, None, None, Seq.empty)
+    )).drop("candidates", "depth")
+
+    // round 0 commit: seeds only
+    val counters0 = RoundCounters(0, 0, seedRows.size, 0, deniedSeeds.size, 0,
+      deniedSeeds.size, allowedSeeds.size)
+    TableIO.commit(spark, ckptDir, 0,
+      Map("frontier" -> frontier0, "seen_inc" -> seen0, "results_inc" -> excluded0),
+      liveSeeds, countersToMap(counters0))
+
+    runLoop(liveSeeds, failures, robotsRules, crawlDelays, startRound = 1)
+  }
+
+  /** Resume from the last committed round of `checkpointDir`. */
+  def resume(): CrawlRun = {
+    val last = TableIO.latestRound(ckptDir).getOrElse(
+      throw new IllegalStateException(s"no committed rounds under $ckptDir"))
+    val snap = TableIO.readSnapshot(ckptDir, last)
+    val seeds = snap.seeds
+    // robots re-derived from the immutable pages table
+    var robotsRules = Map.empty[String, Vector[RobotsKit.Rule]]
+    var crawlDelays = Map.empty[String, Option[Double]]
+    seeds.foreach { seed =>
+      val rUrl = UrlKit.parse(seed).toOption.flatMap(_.join("/robots.txt").toOption).map(_.serialize)
+      val bytes = rUrl.flatMap { u =>
+        pagesSlim.filter(col("url") === u).collect().headOption.map(_.getAs[Array[Byte]](1))
+      }
+      val parsed = bytes.flatMap(HttpKit.parseResponse).filter(r => r.status >= 200 && r.status < 300)
+        .map(r => RobotsKit.parse(r.bodyString, cfg.userAgent))
+      robotsRules += seed -> parsed.map(_.effectiveRules).getOrElse(Vector.empty)
+      crawlDelays += seed -> parsed.flatMap(_.crawlDelay)
+    }
+    runLoop(seeds, Map.empty, robotsRules, crawlDelays, startRound = last + 1)
+  }
+
+  private def countersToMap(c: RoundCounters): Map[String, Long] = Map(
+    "fetched" -> c.fetched, "discovered" -> c.discovered, "deduped" -> c.deduped,
+    "robots_denied" -> c.robotsDenied, "deferred" -> c.deferred,
+    "done" -> c.done, "todo" -> c.todo)
+
+  private def mapToCounters(round: Int, m: Map[String, Long]): RoundCounters = RoundCounters(
+    round, m.getOrElse("fetched", 0), m.getOrElse("discovered", 0), m.getOrElse("deduped", 0),
+    m.getOrElse("robots_denied", 0), m.getOrElse("deferred", 0),
+    m.getOrElse("done", 0), m.getOrElse("todo", 0))
+
+  private def runLoop(
+      seeds: Seq[String],
+      failures: Map[String, String],
+      robotsRules: Map[String, Vector[RobotsKit.Rule]],
+      crawlDelays: Map[String, Option[Double]],
+      startRound: Int
+  ): CrawlRun = {
+    val sc = spark.sparkContext
+    val rulesBc = sc.broadcast(robotsRules)
+
+    // per-SEED politeness budget from robots Crawl-delay (north-star; the
+    // reference has no delay handling — documented delta)
+    val budgetBySeed: Map[String, Int] = seeds.map { s =>
+      val fromDelay = crawlDelays.getOrElse(s, None)
+        .map(d => math.max(1, (cfg.roundSeconds / math.max(d, 1e-9)).toInt))
+        .getOrElse(Int.MaxValue)
+      s -> math.min(cfg.perHostBudgetPerRound.toLong, fromDelay.toLong).toInt
+    }.toMap
+    val anyBudget = budgetBySeed.values.exists(_ != Int.MaxValue)
+    val budgetBc = sc.broadcast(budgetBySeed)
+
+    // restore state from the last committed round
+    val lastCommitted = startRound - 1
+    val lastSnap = TableIO.readSnapshot(ckptDir, lastCommitted)
+    var frontier = TableIO.readTable(spark, lastSnap, "frontier")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontierCount = frontier.count()
+    // full seen = union of all committed increments
+    def seenIncPaths(upTo: Int): Seq[String] =
+      (0 to upTo).map(r => TableIO.readSnapshot(ckptDir, r))
+        .flatMap(_.tables.get("seen_inc"))
+    var seen = spark.read.parquet(seenIncPaths(lastCommitted): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var seenCount = seen.count()
+    var prevCounters = mapToCounters(lastCommitted, lastSnap.counters)
+    var done = prevCounters.done
+    var roundsLog = Vector.empty[RoundCounters]
+
+    // cumulative Bloom over (seed, url) keys — rebuilt from seen on entry
+    var bloom: BloomFilter = null
+    def buildBloom(df: DataFrame): BloomFilter = {
+      val zero = BloomFilter.create(cfg.bloomExpectedInsertions, cfg.bloomFpp)
+      df.select(concat_ws("\u0001", col("seed"), col("url"))).as[String].rdd
+        .treeAggregate(zero)(
+          (bf, s) => { bf.putString(s); bf },
+          (a, b) => { a.mergeInPlace(b); a })
+    }
+
+    var round = startRound
+    var emptyFrontier = frontierCount == 0
+
+    while (!emptyFrontier && round < startRound + cfg.maxRounds) {
+      // ---- politeness: per-host rank within each crawl ----
+      val (toFetch, deferred, deferredCount) =
+        if (anyBudget) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("seed"), col("host"))
+            .orderBy(col("depth"), col("url"))
+          val ranked = frontier.withColumn("_rk", row_number().over(w))
+          val budgetCol = udf((seed: String) => budgetBc.value.getOrElse(seed, Int.MaxValue))
+          val now = ranked.filter(col("_rk") <= budgetCol(col("seed"))).drop("_rk")
+          val later = ranked.filter(col("_rk") > budgetCol(col("seed"))).drop("_rk")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          val dc = later.count()
+          (now, later, dc)
+        } else (frontier, null.asInstanceOf[DataFrame], 0L)
+
+      // ---- fetch join ----
+      // The wire request never carries a fragment (reqwest strips it), so
+      // the lookup key is the fragment-stripped url while the row is still
+      // recorded under the original url (fragment seeds / redirect targets).
+      val stripFrag = udf((u: String) => UrlKit.stripFragmentStr(u))
+      val toFetchK = toFetch.withColumn("fetch_url", stripFrag(col("url")))
+      val pagesK = pagesSlim.withColumnRenamed("url", "fetch_url")
+      // An outer join can never broadcast its preserved side, so the
+      // broadcast-frontier plan is inner-join + tiny anti-join:
+      //   matched = pages ⋈ broadcast(frontier)   (streams the big table,
+      //                                            zero shuffle of pages)
+      //   missing = frontier ⟕̸ broadcast(matched.keys)  (absent rows → Error)
+      // Beyond broadcastFrontierMaxRows fall back to a shuffle left-outer
+      // join and let AQE pick the physical strategy / split skewed urls.
+      var matchedToRelease: DataFrame = null
+      val joined =
+        if (frontierCount <= cfg.broadcastFrontierMaxRows) {
+          val matched = pagesK.join(broadcast(toFetchK), Seq("fetch_url"), "inner")
+            .select(col("seed"), col("url"), col("host"), col("depth"), col("html"), col("fetch_url"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          matchedToRelease = matched
+          val missing = toFetchK
+            .join(broadcast(matched.select("fetch_url")), Seq("fetch_url"), "left_anti")
+            .withColumn("html", lit(null).cast("binary"))
+          matched.drop("fetch_url").unionByName(missing.drop("fetch_url"))
+        } else
+          toFetchK.join(pagesK, Seq("fetch_url"), "left_outer").drop("fetch_url")
+
+      // ---- classify + extract (one pass, reusable per task) ----
+      val stepOut = joined
+        .select(col("seed"), col("url"), col("host"), col("depth"), col("html"))
+        .as[StepIn]
+        .mapPartitions(_.map(step))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+      val fetched = stepOut.count()
+
+      // ---- candidates → dedup → robots gate ----
+      val cand = stepOut
+        .select(col("seed"), explode(col("candidates")).as("url"), (col("depth") + 1).as("depth"))
+        .dropDuplicates("seed", "url")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val discovered = cand.count()
+
+      val newUrls = {
+        val base =
+          if (bloom == null && seenCount >= cfg.bloomMinSeen) { bloom = buildBloom(seen); cand }
+          else cand
+        if (bloom != null) {
+          val bloomBc = sc.broadcast(bloom)
+          val mightContain = udf((seed: String, url: String) =>
+            bloomBc.value.mightContainString(seed + "\u0001" + url))
+          val maybeSeen = base.filter(mightContain(col("seed"), col("url")))
+          val definitelyNew = base.filter(!mightContain(col("seed"), col("url")))
+          maybeSeen.join(seen, Seq("seed", "url"), "left_anti").unionByName(definitelyNew)
+        } else {
+          base.join(seen, Seq("seed", "url"), "left_anti")
+        }
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+      val newCount = newUrls.count()
+      val deduped = discovered - newCount
+
+      val allowedCol = udf((seed: String, url: String) =>
+        RobotsKit.allowedByRules(
+          rulesBc.value.getOrElse(seed, Vector.empty), RobotsKit.pathParamsQuery(url)))
+      val gated = newUrls.withColumn("_allowed", allowedCol(col("seed"), col("url")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val allowedNew = gated.filter(col("_allowed")).drop("_allowed")
+      val deniedNew = gated.filter(!col("_allowed")).drop("_allowed")
+      val deniedCount = gated.filter(!col("_allowed")).count()
+
+      // ---- assemble round outputs ----
+      val hostUdf = udf((u: String) => hostOf(u))
+      val nextFromNew = allowedNew
+        .withColumn("host", hostUdf(col("url")))
+        .select("seed", "url", "host", "depth")
+      val nextFrontier =
+        (if (deferred != null) nextFromNew.unionByName(deferred.select("seed", "url", "host", "depth"))
+         else nextFromNew).persist(StorageLevel.MEMORY_AND_DISK)
+
+      val resultsRound = stepOut.drop("candidates", "depth").toDF()
+        .unionByName(
+          deniedNew.select(
+            col("seed"), col("url"),
+            lit(Excluded).as("result_type"),
+            lit(null).cast("int").as("status"),
+            lit(null).cast("string").as("body"),
+            lit(null).cast("string").as("location"),
+            lit(null).cast("string").as("content_type"),
+            lit(null).cast("string").as("error"),
+            lit(null).cast("array<string>").as("internal_links"),
+            lit(null).cast("array<string>").as("external_links")))
+
+      val seenInc = newUrls.select("seed", "url")
+
+      done += fetched + deniedCount
+      val newFrontierCount = nextFrontier.count()
+      val newSeenCount = seenCount + newCount
+      val counters = RoundCounters(round, fetched, discovered, deduped, deniedCount,
+        deferredCount, done, newSeenCount - done)
+
+      // ---- commit ----
+      val snap = TableIO.commit(spark, ckptDir, round,
+        Map("frontier" -> nextFrontier, "seen_inc" -> seenInc, "results_inc" -> resultsRound),
+        seeds, countersToMap(counters))
+      // frontier and seen are re-read from the committed parquet: constant-
+      // depth, disk-backed lineage regardless of round count (without this
+      // the plan tree grows exponentially with rounds)
+      val committedFrontier = spark.read.parquet(snap.tables("frontier"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val newSeen = spark.read.parquet(seenIncPaths(round): _*)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+      // ---- bloom maintenance ----
+      if (bloom != null && newCount > 0) {
+        val inc = buildBloom(newUrls.toDF())
+        bloom.mergeInPlace(inc)
+      }
+
+      // ---- rotate state ----
+      frontier.unpersist()
+      seen.unpersist()
+      stepOut.unpersist()
+      cand.unpersist()
+      newUrls.unpersist()
+      gated.unpersist()
+      nextFrontier.unpersist()
+      if (matchedToRelease != null) matchedToRelease.unpersist()
+      if (deferred != null) deferred.unpersist()
+      frontier = committedFrontier
+      frontierCount = newFrontierCount
+      seen = newSeen
+      seenCount = newSeenCount
+      roundsLog :+= counters
+      prevCounters = counters
+      emptyFrontier = frontierCount == 0
+      round += 1
+    }
+
+    new CrawlRun(spark, ckptDir, seeds, failures, roundsLog, round - 1)
+  }
+}
+
+/** Handle over a finished (or resumed-to-finished) crawl job. */
+final class CrawlRun(
+    spark: SparkSession,
+    val checkpointDir: String,
+    val seeds: Seq[String],
+    val failures: Map[String, String],
+    val rounds: Vector[RoundCounters],
+    val lastRound: Int
+) {
+  import org.apache.spark.sql.functions._
+
+  private def resultPaths: Seq[String] =
+    (0 to lastRound).map(r => TableIO.readSnapshot(checkpointDir, r))
+      .flatMap(_.tables.get("results_inc"))
+
+  /** All result rows: (seed, url, result_type, status, body, location,
+    * content_type, error, internal_links, external_links). */
+  def results: DataFrame = spark.read.parquet(resultPaths: _*)
+
+  /** Result of one seed's crawl — the reference CrawlResult (crawler.rs:127-135). */
+  def resultFor(seed: String): DataFrame = {
+    val canonical = UrlKit.canonicalize(seed).getOrElse(seed)
+    if (failures.contains(canonical))
+      throw new CrawlEngine.CrawlFailedException(canonical, failures(canonical))
+    results.filter(col("seed") === canonical).drop("seed")
+  }
+
+  /** GET /crawl/{seed}/list (api.rs:145-163). */
+  def list(seed: String): DataFrame = resultFor(seed).select("url")
+
+  /** GET /crawl/{seed}/count (api.rs:171-187). */
+  def count(seed: String): Long = resultFor(seed).count()
+
+  /** GET /status analogue: per-round counters (crawler.rs:369-382). */
+  def status: Vector[RoundCounters] = rounds
+
+  /** serde-shape JSON of one crawl (serializers.rs / crawler.rs:131-149). */
+  def toJson(seed: String): String = {
+    val rows = resultFor(seed).collect()
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val entries = rows.map { r =>
+      val url = r.getAs[String]("url")
+      val v = r.getAs[String]("result_type") match {
+        case CrawlEngine.Excluded => q("ExcludedByRobotsTxt")
+        case CrawlEngine.OtherContent =>
+          s"""{${q("OtherContent")}: ${q(r.getAs[String]("content_type"))}}"""
+        case CrawlEngine.Error =>
+          s"""{${q("Error")}: ${q(r.getAs[String]("error"))}}"""
+        case CrawlEngine.Redirect =>
+          s"""{${q("Redirect")}: {${q("status")}: ${r.getAs[Int]("status")}, ${q("location")}: ${q(r.getAs[String]("location"))}}}"""
+        case CrawlEngine.ServerFailure =>
+          s"""{${q("ServerFailure")}: {${q("status")}: ${r.getAs[Int]("status")}, ${q("body")}: ${q(r.getAs[String]("body"))}}}"""
+        case CrawlEngine.Crawled =>
+          val il = Option(r.getAs[scala.collection.Seq[String]]("internal_links")).getOrElse(Seq.empty)
+          val el = Option(r.getAs[scala.collection.Seq[String]]("external_links")).getOrElse(Seq.empty)
+          s"""{${q("Crawled")}: {${q("internal_links")}: ${il.map(q).mkString("[", ", ", "]")}, ${q("external_links")}: ${el.map(q).mkString("[", ", ", "]")}}}"""
+      }
+      s"${q(url)}: $v"
+    }
+    s"""{${q("pages")}: {${entries.mkString(", ")}}}"""
+  }
+}

@@ -16,7 +16,7 @@ package graft.robotskit
  *  - longest-match wins across allow & disallow; allow wins ties
  *  - `*` multi-char wildcard anywhere; `$` anchors only at pattern end
  *  - key names tolerate common typos (dissallow etc.) and "user agent"
- *  - empty/無 pattern rules match nothing; no robots → allow everything
+ *  - empty-pattern rules match nothing; no robots → allow everything
  *
  * Plus one extension the north-star politeness scheduler needs (not in the
  * matcher): `crawlDelay` extraction with the same group selection.
@@ -54,7 +54,7 @@ object RobotsKit {
     var lastWasUserAgent = false
 
     // strip a UTF-8 BOM if the body starts with one
-    val body = if (robots.startsWith("﻿")) robots.substring(1) else robots
+    val body = if (robots.startsWith("\uFEFF")) robots.substring(1) else robots
 
     body.linesIterator.foreach { rawLine =>
       // comments start at '#'

@@ -1,0 +1,155 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/**
+ * Iceberg-style table/checkpoint emulation: partitioned parquet data plus a
+ * JSON snapshot manifest per commit. No Iceberg runtime jar ships in this
+ * sandbox (/opt/spark/jars), so snapshot isolation is emulated with
+ * write-data-first / atomically-rename-manifest-last commits; a real Iceberg
+ * catalog becomes a config-only swap behind this object (SURVEY.md §7.1).
+ *
+ * Manifest carries the north-rule lineage and counters: snapshot id, parent
+ * id, round, seeds, per-round counters (fetched, deduped, robots-denied,
+ * done, todo), and the data paths. `latestRound` scans committed manifests
+ * only — a job killed mid-write leaves no manifest, so resume restarts from
+ * the previous complete round (resume-exactly semantics, SURVEY.md §2.8 St4).
+ */
+object TableIO {
+
+  final case class Snapshot(
+      round: Int,
+      parentRound: Int,
+      seeds: Seq[String],
+      counters: Map[String, Long],
+      tables: Map[String, String]
+  )
+
+  private def manifestPath(dir: String, round: Int) =
+    Paths.get(dir, f"manifest-r$round%05d.json")
+
+  def commit(
+      spark: SparkSession,
+      dir: String,
+      round: Int,
+      tables: Map[String, DataFrame],
+      seeds: Seq[String],
+      counters: Map[String, Long]
+  ): Snapshot = {
+    Files.createDirectories(Paths.get(dir))
+    val paths = tables.map { case (name, df) =>
+      val p = Paths.get(dir, f"r$round%05d", name).toString
+      df.write.mode("overwrite").parquet(p)
+      name -> p
+    }
+    val snap = Snapshot(round, round - 1, seeds, counters, paths)
+    val json = renderJson(snap)
+    val tmp = Paths.get(dir, f".manifest-r$round%05d.json.tmp")
+    Files.writeString(tmp, json)
+    Files.move(tmp, manifestPath(dir, round), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    snap
+  }
+
+  def latestRound(dir: String): Option[Int] = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) return None
+    val rounds = Files.list(d).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("manifest-r") && s.endsWith(".json") =>
+        s.stripPrefix("manifest-r").stripSuffix(".json").toInt
+      }
+      .toSeq
+    rounds.sorted.lastOption
+  }
+
+  def readSnapshot(dir: String, round: Int): Snapshot =
+    parseJson(Files.readString(manifestPath(dir, round)))
+
+  def readTable(spark: SparkSession, snap: Snapshot, name: String): DataFrame =
+    spark.read.parquet(snap.tables(name))
+
+  // ---- minimal JSON (flat, controlled keys — no library available) --------
+
+  private def q(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def renderJson(s: Snapshot): String = {
+    val counters = s.counters.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ", ", "}")
+    val tables = s.tables.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ", ", "}")
+    val seeds = s.seeds.map(q).mkString("[", ", ", "]")
+    s"""{"round": ${s.round}, "parentRound": ${s.parentRound}, "seeds": $seeds, "counters": $counters, "tables": $tables}"""
+  }
+
+  // hand-rolled parser for exactly the shape renderJson emits
+  private def parseJson(s: String): Snapshot = {
+    def field(name: String): String = {
+      val key = q(name) + ":"
+      val i = s.indexOf(key)
+      require(i >= 0, s"missing $name in manifest")
+      s.substring(i + key.length).trim
+    }
+    def parseStr(t: String): (String, String) = {
+      require(t.startsWith("\""), s"expected string at: $t")
+      val sb = new StringBuilder
+      var i = 1
+      while (t.charAt(i) != '"') {
+        if (t.charAt(i) == '\\') {
+          t.charAt(i + 1) match {
+            case 'n' => sb.append('\n'); i += 2
+            case 'r' => sb.append('\r'); i += 2
+            case 't' => sb.append('\t'); i += 2
+            case 'u' => sb.append(Integer.parseInt(t.substring(i + 2, i + 6), 16).toChar); i += 6
+            case c   => sb.append(c); i += 2
+          }
+        } else { sb.append(t.charAt(i)); i += 1 }
+      }
+      (sb.toString, t.substring(i + 1))
+    }
+    def parseObj(t0: String, valueIsString: Boolean): (Map[String, String], String) = {
+      var t = t0.trim
+      require(t.startsWith("{"))
+      t = t.drop(1).trim
+      var out = Map.empty[String, String]
+      while (!t.startsWith("}")) {
+        val (k, r1) = parseStr(t)
+        t = r1.trim.stripPrefix(":").trim
+        if (valueIsString) {
+          val (v, r2) = parseStr(t); out += (k -> v); t = r2.trim
+        } else {
+          val end = t.indexWhere(c => c == ',' || c == '}')
+          out += (k -> t.substring(0, end).trim); t = t.substring(end)
+        }
+        t = t.trim.stripPrefix(",").trim
+      }
+      (out, t.drop(1))
+    }
+    def parseArr(t0: String): Seq[String] = {
+      var t = t0.trim
+      require(t.startsWith("["))
+      t = t.drop(1).trim
+      var out = Vector.empty[String]
+      while (!t.startsWith("]")) {
+        val (v, r) = parseStr(t)
+        out :+= v
+        t = r.trim.stripPrefix(",").trim
+      }
+      out
+    }
+    val round = field("round").takeWhile(c => c.isDigit || c == '-').toInt
+    val parent = field("parentRound").takeWhile(c => c.isDigit || c == '-').toInt
+    val seeds = parseArr(field("seeds"))
+    val (counters, _) = parseObj(field("counters"), valueIsString = false)
+    val (tables, _) = parseObj(field("tables"), valueIsString = true)
+    Snapshot(round, parent, seeds, counters.map { case (k, v) => k -> v.toLong }, tables)
+  }
+}

@@ -1,0 +1,351 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{CrawlConfig, CrawlEngine, CrawlRun}
+import graft.sources.PagesGen
+
+/**
+ * Ports of ALL 13 reference crawler unit tests (/root/reference/src/
+ * crawler.rs:385-1014) and the 5 integration tests (tests/integration.rs)
+ * against the synthetic pages table (FIXTURES.md), plus engine-specific
+ * coverage (bloom path, politeness budget, multi-seed, resume).
+ *
+ * Hit-count asserts (e.g. crawler.rs:728-735) become "each fetched url has
+ * exactly one result row and the counters' fetched-sum equals the number of
+ * fetched urls" — the engine records exactly one result per fetch.
+ */
+class CrawlEngineSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private lazy val pages = PagesGen.fixtures(spark).cache()
+
+  /** Collected view of one crawl's result rows, keyed by url. */
+  case class R(
+      t: String, status: Option[Int] = None, body: Option[String] = None,
+      location: Option[String] = None, ct: Option[String] = None,
+      err: Option[String] = None,
+      il: Option[Seq[String]] = None, el: Option[Seq[String]] = None)
+
+  private def collectMap(run: CrawlRun, seed: String): Map[String, R] = {
+    val rows = run.resultFor(seed).collect()
+    val m = rows.map { r =>
+      def opt[T](name: String): Option[T] =
+        if (r.isNullAt(r.fieldIndex(name))) None else Some(r.getAs[T](name))
+      r.getAs[String]("url") -> R(
+        r.getAs[String]("result_type"),
+        opt[Int]("status"), opt[String]("body"), opt[String]("location"),
+        opt[String]("content_type"), opt[String]("error"),
+        opt[Seq[String]]("internal_links"), opt[Seq[String]]("external_links"))
+    }.toMap
+    assert(m.size == rows.length, "duplicate result rows for a url — exactly-once violated")
+    m
+  }
+
+  private def doCrawl(seed: String, cfg: CrawlConfig = CrawlConfig()): (CrawlRun, Map[String, R]) = {
+    val run = new CrawlEngine(spark, pages, cfg).crawl(seed)
+    (run, collectMap(run, seed))
+  }
+
+  private def crawled(il: Seq[String] = Seq.empty, el: Seq[String] = Seq.empty): R =
+    R("Crawled", il = Some(il), el = Some(el))
+
+  private val X = PagesGen.X
+
+  // ---- the 13 crawler.rs unit tests ----------------------------------------
+
+  test("reports_single_server_error (crawler.rs:560-581)") {
+    val seed = s"${PagesGen.host("server-error")}/start"
+    val (_, m) = doCrawl(seed)
+    assert(m == Map(seed -> R("ServerFailure", status = Some(500), body = Some("Internal server error"))))
+  }
+
+  test("reports_single_network_error (crawler.rs:583-597)") {
+    val seed = s"${PagesGen.host("network-error")}/start"
+    val (_, m) = doCrawl(seed)
+    assert(m == Map(seed -> R("Error", err = Some("Connection failed"))))
+  }
+
+  test("reports_single_page_with_external_links (crawler.rs:599-621)") {
+    val seed = s"${PagesGen.host("external-only")}/start"
+    val (_, m) = doCrawl(seed)
+    assert(m == Map(seed -> crawled(el = Seq(s"$X/another"))))
+  }
+
+  test("follows_redirects (crawler.rs:623-656)") {
+    val h = PagesGen.host("redirect-target")
+    val (_, m) = doCrawl(s"$h/redirect")
+    assert(m == Map(
+      s"$h/redirect" -> R("Redirect", status = Some(302), location = Some(s"$h/target")),
+      s"$h/target" -> crawled(el = Seq(s"$X/another"))))
+  }
+
+  test("crawls_multiple_pages (crawler.rs:658-680)") {
+    val h = PagesGen.host("multi-links")
+    val (run, m) = doCrawl(s"$h/start")
+    assert(m == Map(
+      s"$h/start" -> crawled(il = Seq(s"$h/link1", s"$h/link2")),
+      s"$h/link1" -> crawled(),
+      s"$h/link2" -> crawled()))
+    assert(run.status.map(_.fetched).sum == 3)
+  }
+
+  test("handles_cycles (crawler.rs:682-704)") {
+    val h = PagesGen.host("cycle")
+    val (run, m) = doCrawl(s"$h/start")
+    assert(m == Map(
+      s"$h/start" -> crawled(il = Seq(s"$h/link1")),
+      s"$h/link1" -> crawled(il = Seq(s"$h/link2")),
+      s"$h/link2" -> crawled(il = Seq(s"$h/start"))))
+    assert(run.status.map(_.fetched).sum == 3) // each fetched exactly once
+  }
+
+  test("handles_parallel_cycles (crawler.rs:706-735)") {
+    val h = PagesGen.host("parallel-cycle")
+    val (run, m) = doCrawl(s"$h/start")
+    assert(m(s"$h/start") == crawled(il = Seq(s"$h/link1", s"$h/link2")))
+    assert(m(s"$h/link1") == crawled(il = Seq(s"$h/start", s"$h/link2")))
+    assert(m(s"$h/link2") == crawled(il = Seq(s"$h/start", s"$h/link1")))
+    assert(run.status.map(_.fetched).sum == 3)
+  }
+
+  test("doesnt_follow_external_redirects (crawler.rs:737-757)") {
+    val h = PagesGen.host("external-redirect")
+    val (_, m) = doCrawl(s"$h/redirect")
+    assert(m == Map(
+      s"$h/redirect" -> R("Redirect", status = Some(302), location = Some(s"$X/target"))))
+  }
+
+  test("dont_revisit_after_redirect (crawler.rs:759-790)") {
+    val h = PagesGen.host("redirect-no-revisit")
+    val (run, m) = doCrawl(s"$h/start")
+    assert(m == Map(
+      s"$h/start" -> crawled(il = Seq(s"$h/redirect")),
+      s"$h/redirect" -> R("Redirect", status = Some(302), location = Some(s"$h/start"))))
+    assert(run.status.map(_.fetched).sum == 2) // start fetched once
+  }
+
+  test("dont_revisit_if_found_from_redirect (crawler.rs:792-826)") {
+    val h = PagesGen.host("redirect-found-first")
+    val (run, m) = doCrawl(s"$h/redirect")
+    assert(m == Map(
+      s"$h/redirect" -> R("Redirect", status = Some(302), location = Some(s"$h/target")),
+      s"$h/target" -> crawled(il = Seq(s"$h/back")),
+      s"$h/back" -> crawled(il = Seq(s"$h/target"))))
+    assert(run.status.map(_.fetched).sum == 3)
+  }
+
+  test("fragments: queue key stripped, recorded links keep fragments (crawler.rs:828-850)") {
+    val h = PagesGen.host("fragments")
+    val (run, m) = doCrawl(s"$h/page")
+    assert(m == Map(
+      s"$h/page" -> crawled(il = Seq(s"$h/page#link1", s"$h/page#link2"))))
+    assert(run.status.map(_.fetched).sum == 1) // page fetched exactly once
+  }
+
+  test("reports_other_content (crawler.rs:852-866)") {
+    val seed = s"${PagesGen.host("non-html")}/thing.pdf"
+    val (_, m) = doCrawl(seed)
+    assert(m == Map(seed -> R("OtherContent", ct = Some("x-application/pdf"))))
+  }
+
+  test("excludes_urls_disallowed_by_robots_txt (crawler.rs:868-894; integration.rs:119-197)") {
+    val h = PagesGen.host("robots-excluded")
+    val (run, m) = doCrawl(s"$h/start")
+    assert(m == Map(
+      s"$h/start" -> crawled(il = Seq(s"$h/disallowed"), el = Seq(s"$X/another")),
+      s"$h/disallowed" -> R("ExcludedByRobotsTxt")))
+    // the disallowed page is never fetched (zero hits): only /start was fetched
+    assert(run.status.map(_.fetched).sum == 1)
+    assert(run.status.map(_.robotsDenied).sum == 1)
+  }
+
+  // ---- integration.rs tests not covered above -------------------------------
+
+  test("relative_redirects (integration.rs:59-85)") {
+    val seed = "http://127.0.0.1:8001/start"
+    val (_, m) = doCrawl(seed)
+    // Location "/next" resolved against the request url (http_client.rs:83);
+    // same-domain via the None==None IP quirk → followed → absent row → Error
+    assert(m(seed) == R("Redirect", status = Some(301), location = Some("http://127.0.0.1:8001/next")))
+    assert(m("http://127.0.0.1:8001/next") == R("Error", err = Some("Connection failed")))
+  }
+
+  test("collected_things — full golden result (integration.rs:207-330)") {
+    val h = "http://127.0.0.1:8000"
+    val (run, m) = doCrawl(s"$h/start")
+    assert(m.keySet == Set(s"$h/start", s"$h/another", s"$h/third", s"$h/pdf",
+      s"$h/redirect", s"$h/relative"))
+    // exact document order of start's links (integration.rs:306-315)
+    assert(m(s"$h/start") == crawled(
+      il = Seq(s"$h/another", s"$h/third", s"$h/pdf", s"$h/redirect", s"$h/relative"),
+      el = Seq(s"$X/another")))
+    assert(m(s"$h/another") == crawled(il = Seq(s"$h/third")))
+    assert(m(s"$h/third") == crawled(il = Seq(s"$h/relative")))
+    assert(m(s"$h/relative") == crawled(il = Seq(s"$h/third")))
+    assert(m(s"$h/pdf") == R("OtherContent", ct = Some("x-application/something")))
+    assert(m(s"$h/redirect") == R("Redirect", status = Some(301), location = Some(s"$h/start")))
+    // every url fetched exactly once (integration.rs:324-329)
+    assert(run.status.map(_.fetched).sum == 6)
+    assert(run.count(s"$h/start") == 6)
+    // /list projection (api.rs:145-163)
+    assert(run.list(s"$h/start").collect().map(_.getString(0)).toSet == m.keySet)
+  }
+
+  // ---- classification edge cases (http_client.rs gaps) ----------------------
+
+  test("no content type on OK response (http_client.rs:69-70)") {
+    val seed = s"${PagesGen.host("no-content-type")}/start"
+    val (_, m) = doCrawl(seed)
+    assert(m == Map(seed -> R("Error", err = Some("No content type on OK response"))))
+  }
+
+  test("unparseable mime type (http_client.rs:72)") {
+    val seed = s"${PagesGen.host("bad-mime")}/start"
+    val (_, m) = doCrawl(seed)
+    assert(m(seed).t == "Error")
+    assert(m(seed).err.get.startsWith("invalid mime type"))
+  }
+
+  test("redirect without Location header (http_client.rs:83-85)") {
+    val seed = s"${PagesGen.host("no-location")}/start"
+    val (_, m) = doCrawl(seed)
+    assert(m == Map(seed -> R("Error", err = Some("No Location header on redirect"))))
+  }
+
+  // ---- robots edge semantics -------------------------------------------------
+
+  test("seed itself excluded by robots: zero fetches") {
+    val seed = s"${PagesGen.host("robots-seed-excluded")}/start"
+    val (run, m) = doCrawl(seed)
+    assert(m == Map(seed -> R("ExcludedByRobotsTxt")))
+    assert(run.status.map(_.fetched).sum == 0)
+  }
+
+  test("non-404 robots failure fails the whole crawl (http_client.rs:96-105)") {
+    val seed = s"${PagesGen.host("robots-failure")}/start"
+    val run = new CrawlEngine(spark, pages).crawl(seed)
+    assert(run.failures(seed) == "Got status 500 for robots.txt")
+    intercept[CrawlEngine.CrawlFailedException] { run.resultFor(seed) }
+  }
+
+  test("invalid seed url fails fast (api.rs:40-49)") {
+    intercept[IllegalArgumentException] {
+      new CrawlEngine(spark, pages).crawl("not a url")
+    }
+  }
+
+  // ---- engine-specific: counters, bloom, politeness, multi-seed, resume, json
+
+  test("per-round counters (crawler.rs:369-382 /status analogue)") {
+    val h = PagesGen.host("cycle")
+    val (run, _) = doCrawl(s"$h/start")
+    val rs = run.status
+    assert(rs.map(_.fetched) == Vector(1, 1, 1))
+    assert(rs.last.done == 3)
+    assert(rs.last.todo == 0)
+    assert(rs.map(_.deduped).sum == 1) // link2 → start rediscovered once
+  }
+
+  test("bloom pre-filter path produces identical results") {
+    val h = "http://127.0.0.1:8000"
+    val cfg = CrawlConfig(bloomMinSeen = 0, bloomExpectedInsertions = 1000)
+    val (run, m) = doCrawl(s"$h/start", cfg)
+    val (_, m2) = doCrawl(s"$h/start")
+    assert(m == m2)
+    assert(run.status.map(_.fetched).sum == 6)
+  }
+
+  test("politeness: per-host budget defers, result unchanged") {
+    val h = PagesGen.host("multi-links")
+    val cfg = CrawlConfig(perHostBudgetPerRound = 1)
+    val (run, m) = doCrawl(s"$h/start", cfg)
+    val (_, m2) = doCrawl(s"$h/start")
+    assert(m == m2)
+    assert(run.status.map(_.deferred).sum >= 1) // link2 deferred one round
+    assert(run.status.length == 3)              // one extra round paid
+  }
+
+  test("politeness: robots Crawl-delay shrinks the budget") {
+    val h = PagesGen.host("politeness")
+    // crawl-delay 10s, round represents 10s → budget 1 fetch/host/round
+    val cfg = CrawlConfig(roundSeconds = 10.0)
+    val (run, m) = doCrawl(s"$h/start", cfg)
+    assert(m.keySet == Set(s"$h/start", s"$h/a", s"$h/b"))
+    assert(run.status.map(_.deferred).sum >= 1)
+    val (_, m2) = doCrawl(s"$h/start") // default: generous budget, same result
+    assert(m == m2)
+  }
+
+  test("multi-seed job equals per-seed crawls") {
+    val s1 = s"${PagesGen.host("cycle")}/start"
+    val s2 = s"${PagesGen.host("multi-links")}/start"
+    val run = new CrawlEngine(spark, pages).crawlAll(Seq(s1, s2))
+    val m1 = collectMap(run, s1)
+    val m2 = collectMap(run, s2)
+    val (_, e1) = doCrawl(s1)
+    val (_, e2) = doCrawl(s2)
+    assert(m1 == e1)
+    assert(m2 == e2)
+  }
+
+  test("resume from checkpoint reproduces the exact final state (north rule St4)") {
+    val h = "http://127.0.0.1:8000"
+    val seed = s"$h/start"
+    val dir = java.nio.file.Files.createTempDirectory("graft-resume-").toString
+    val run = new CrawlEngine(spark, pages, CrawlConfig(), dir).crawl(seed)
+    val expected = collectMap(run, seed)
+    val lastRound = run.lastRound
+    assert(lastRound >= 2)
+    // simulate a kill after round 1's commit: delete every later round
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    Files.list(Paths.get(dir)).iterator().asScala.toList.foreach { p =>
+      val name = p.getFileName.toString
+      val round =
+        if (name.startsWith("manifest-r")) Some(name.stripPrefix("manifest-r").stripSuffix(".json").toInt)
+        else if (name.startsWith("r") && name.drop(1).forall(_.isDigit)) Some(name.drop(1).toInt)
+        else None
+      if (round.exists(_ > 1)) {
+        // recursive delete
+        Files.walk(p).iterator().asScala.toList.reverse.foreach(Files.delete)
+      }
+    }
+    val resumed = new CrawlEngine(spark, pages, CrawlConfig(), dir).resume()
+    assert(resumed.lastRound == lastRound)
+    assert(collectMap(resumed, seed) == expected)
+  }
+
+  test("fragment seed: fetched via the stripped url, recorded under the original") {
+    // reqwest never sends fragments on the wire; the reference's seen set
+    // still keys the fragment form, so /start is later fetched again plain
+    val h = PagesGen.host("cycle")
+    val (run, m) = doCrawl(s"$h/start#frag")
+    assert(m.keySet == Set(s"$h/start#frag", s"$h/link1", s"$h/link2", s"$h/start"))
+    assert(m(s"$h/start#frag") == crawled(il = Seq(s"$h/link1")))
+    assert(m(s"$h/start") == crawled(il = Seq(s"$h/link1")))
+    assert(run.status.map(_.fetched).sum == 4)
+  }
+
+  test("JSON export shape (serializers.rs; api.rs:303)") {
+    val h = PagesGen.host("robots-excluded")
+    val (run, _) = doCrawl(s"$h/start")
+    val json = run.toJson(s"$h/start")
+    assert(json.contains(""""pages""""))
+    assert(json.contains(s""""$h/disallowed": "ExcludedByRobotsTxt""""))
+    assert(json.contains(""""Crawled": {"internal_links": ["""))
+    val h2 = PagesGen.host("server-error")
+    val (run2, _) = doCrawl(s"$h2/start")
+    assert(run2.toJson(s"$h2/start").contains(
+      s""""$h2/start": {"ServerFailure": {"status": 500, "body": "Internal server error"}}"""))
+  }
+
+  test("text column invariant: extract_text(html bytes) == text column, byte-identical") {
+    import graft.functions.GraftFunctions
+    val mismatches = pages
+      .withColumn("t2", GraftFunctions.extract_text_http(col("html")))
+      .filter(coalesce(col("t2"), lit("")) =!= col("text"))
+      .count()
+    assert(mismatches == 0)
+  }
+}
