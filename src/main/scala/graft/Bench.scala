@@ -1,24 +1,96 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.operators.{CrawlConfig, CrawlEngine}
+import graft.sources.PagesGen
+
+/**
+ * Driver-run benchmark: headline operator queries on SPARK_GRAFT_SF_DIR plus
+ * the frontier-throughput crawl bench on a generated scale graph
+ * (FIXTURES.md "Scale generator"). Prints ONE JSON line:
+ *   {"metric":"total","value":SEC,"unit":"sec","queries":{name:sec,...},
+ *    "sf":dir, "crawl_urls":N, "crawl_processed":N, "crawl_urls_per_sec":X,
+ *    "crawl_rounds":N, "cpus":N}
+ *
+ * Queries are forced with the noop sink (a bare count() would let Catalyst
+ * prune the projections under test).
+ */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  def buildSession(cpus: Int, app: String): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .appName(app)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Generate the scale pages table once (not timed as crawl work). */
+  def generatePages(spark: SparkSession, n: Long, hosts: Int, partitions: Int): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench-pages-").toString
+    PagesGen.scale(spark, n, hosts, partitions).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  final case class CrawlBenchResult(
+      seconds: Double, urls: Long, processed: Long, rounds: Int, fetched: Long,
+      deduped: Long, robotsDenied: Long)
+
+  /** One full multi-seed crawl over the generated graph; returns throughput
+    * inputs. `processed` = fetched + robots-denied + dedup-dropped candidate
+    * urls — the "URLs fetched+deduped" of the BASELINE.json metric. */
+  def crawlBench(spark: SparkSession, pagesDir: String, n: Long, hosts: Int): CrawlBenchResult = {
+    val pages = spark.read.parquet(pagesDir)
+    val spec = PagesGen.ScaleSpec(n, hosts)
+    val t0 = System.nanoTime()
+    val run = new CrawlEngine(spark, pages, CrawlConfig(bloomMinSeen = 50000)).crawlAll(spec.seeds)
+    val sec = (System.nanoTime() - t0) / 1e9
+    val fetched = run.rounds.map(_.fetched).sum
+    val deduped = run.rounds.map(_.deduped).sum
+    val denied = run.rounds.map(_.robotsDenied).sum
+    CrawlBenchResult(sec, fetched + denied, fetched + denied + deduped,
+      run.rounds.size, fetched, deduped, denied)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val crawlN = sys.env.getOrElse("SPARK_GRAFT_CRAWL_N", "120000").toLong
+    val hosts = 8
+    val spark = buildSession(cpus, "graft-bench")
+
+    val headline = Seq(
+      "q1_agg", "q_join_agg", "q_window_topk", "q_events_hourly",
+      "dedup_exact", "dedup_minhash_pairs", "dedup_simhash_pairs",
+      "ann_topk_brute", "ann_topk_lsh",
+      "text_quality", "text_lang_id", "text_fingerprint", "multimodal_meta")
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    headline.foreach { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+      results(name) = (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // frontier throughput (generation excluded from the timed section)
+    val pagesDir = generatePages(spark, crawlN, hosts, cpus * 2)
+    val cb = crawlBench(spark, pagesDir, crawlN, hosts)
+    results("crawl_frontier") = cb.seconds
+
+    val total = results.values.sum
+    val qs = results.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s""""crawl_n":$crawlN,"crawl_urls":${cb.urls},"crawl_processed":${cb.processed},""" +
+      s""""crawl_rounds":${cb.rounds},"crawl_urls_per_sec":${f"${cb.processed / cb.seconds}%.1f"},"cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -264,14 +264,13 @@ final class CrawlEngine(
     val lastCommitted = startRound - 1
     val lastSnap = TableIO.readSnapshot(ckptDir, lastCommitted)
     var frontier = TableIO.readTable(spark, lastSnap, "frontier")
-      .persist(StorageLevel.MEMORY_AND_DISK)
     var frontierCount = frontier.count()
-    // full seen = union of all committed increments
+    // full seen = union of all committed increments (lazy parquet read:
+    // scanned once per round by the anti-join, so no persist)
     def seenIncPaths(upTo: Int): Seq[String] =
       (0 to upTo).map(r => TableIO.readSnapshot(ckptDir, r))
         .flatMap(_.tables.get("seen_inc"))
     var seen = spark.read.parquet(seenIncPaths(lastCommitted): _*)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     var seenCount = seen.count()
     var prevCounters = mapToCounters(lastCommitted, lastSnap.counters)
     var done = prevCounters.done
@@ -315,9 +314,9 @@ final class CrawlEngine(
       val pagesK = pagesSlim.withColumnRenamed("url", "fetch_url")
       // An outer join can never broadcast its preserved side, so the
       // broadcast-frontier plan is inner-join + tiny anti-join:
-      //   matched = pages ⋈ broadcast(frontier)   (streams the big table,
-      //                                            zero shuffle of pages)
-      //   missing = frontier ⟕̸ broadcast(matched.keys)  (absent rows → Error)
+      //   matched = pages join broadcast(frontier)   (streams the big table,
+      //                                               zero shuffle of pages)
+      //   missing = frontier anti broadcast(matched.keys) (absent rows -> Error)
       // Beyond broadcastFrontierMaxRows fall back to a shuffle left-outer
       // join and let AQE pick the physical strategy / split skewed urls.
       var matchedToRelease: DataFrame = null
@@ -341,16 +340,22 @@ final class CrawlEngine(
         .mapPartitions(_.map(step))
         .persist(StorageLevel.MEMORY_AND_DISK)
 
-      val fetched = stepOut.count()
+      // Round counters ride the commit writes as Observations — no extra
+      // driver jobs per round (north rule: counters per checkpoint).
+      val obsCand = org.apache.spark.sql.Observation()
+      val obsNew = org.apache.spark.sql.Observation()
+      val obsFrontier = org.apache.spark.sql.Observation()
 
-      // ---- candidates → dedup → robots gate ----
-      val cand = stepOut
+      // ---- candidates -> dedup -> robots gate ----
+      // NOTE: observe() must sit ABOVE persist() — an InMemoryTableScan hides
+      // CollectMetrics nodes inside the cached plan from downstream queries.
+      val candCached = stepOut
         .select(col("seed"), explode(col("candidates")).as("url"), (col("depth") + 1).as("depth"))
         .dropDuplicates("seed", "url")
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val discovered = cand.count()
+      val cand = candCached.observe(obsCand, count(lit(1)).as("n"))
 
-      val newUrls = {
+      val newUrlsCached = {
         val base =
           if (bloom == null && seenCount >= cfg.bloomMinSeen) { bloom = buildBloom(seen); cand }
           else cand
@@ -365,17 +370,13 @@ final class CrawlEngine(
           base.join(seen, Seq("seed", "url"), "left_anti")
         }
       }.persist(StorageLevel.MEMORY_AND_DISK)
-      val newCount = newUrls.count()
-      val deduped = discovered - newCount
+      val newUrls = newUrlsCached.observe(obsNew, count(lit(1)).as("n"))
 
       val allowedCol = udf((seed: String, url: String) =>
         RobotsKit.allowedByRules(
           rulesBc.value.getOrElse(seed, Vector.empty), RobotsKit.pathParamsQuery(url)))
-      val gated = newUrls.withColumn("_allowed", allowedCol(col("seed"), col("url")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val allowedNew = gated.filter(col("_allowed")).drop("_allowed")
-      val deniedNew = gated.filter(!col("_allowed")).drop("_allowed")
-      val deniedCount = gated.filter(!col("_allowed")).count()
+      val allowedNew = newUrls.filter(allowedCol(col("seed"), col("url")))
+      val deniedNew = newUrls.filter(!allowedCol(col("seed"), col("url")))
 
       // ---- assemble round outputs ----
       val hostUdf = udf((u: String) => hostOf(u))
@@ -384,7 +385,7 @@ final class CrawlEngine(
         .select("seed", "url", "host", "depth")
       val nextFrontier =
         (if (deferred != null) nextFromNew.unionByName(deferred.select("seed", "url", "host", "depth"))
-         else nextFromNew).persist(StorageLevel.MEMORY_AND_DISK)
+         else nextFromNew).observe(obsFrontier, count(lit(1)).as("n"))
 
       val resultsRound = stepOut.drop("candidates", "depth").toDF()
         .unionByName(
@@ -401,44 +402,48 @@ final class CrawlEngine(
 
       val seenInc = newUrls.select("seed", "url")
 
-      done += fetched + deniedCount
-      val newFrontierCount = nextFrontier.count()
-      val newSeenCount = seenCount + newCount
-      val counters = RoundCounters(round, fetched, discovered, deduped, deniedCount,
-        deferredCount, done, newSeenCount - done)
-
-      // ---- commit ----
+      // ---- commit (counters evaluated after the data writes land) ----
+      var counters: RoundCounters = null
+      val fetched = frontierCount - deferredCount
       val snap = TableIO.commit(spark, ckptDir, round,
         Map("frontier" -> nextFrontier, "seen_inc" -> seenInc, "results_inc" -> resultsRound),
-        seeds, countersToMap(counters))
+        seeds, {
+          val discovered = obsCand.get("n").asInstanceOf[Long]
+          val newCount = obsNew.get("n").asInstanceOf[Long]
+          val newFrontierCount = obsFrontier.get("n").asInstanceOf[Long]
+          val allowedCount = newFrontierCount - deferredCount
+          val deniedCount = newCount - allowedCount
+          done += fetched + deniedCount
+          val newSeenCount = seenCount + newCount
+          counters = RoundCounters(round, fetched, discovered, discovered - newCount,
+            deniedCount, deferredCount, done, newSeenCount - done)
+          countersToMap(counters)
+        })
+      val newCount = obsNew.get("n").asInstanceOf[Long]
+      val newFrontierCount = obsFrontier.get("n").asInstanceOf[Long]
+
       // frontier and seen are re-read from the committed parquet: constant-
       // depth, disk-backed lineage regardless of round count (without this
       // the plan tree grows exponentially with rounds)
       val committedFrontier = spark.read.parquet(snap.tables("frontier"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
       val newSeen = spark.read.parquet(seenIncPaths(round): _*)
-        .persist(StorageLevel.MEMORY_AND_DISK)
 
       // ---- bloom maintenance ----
       if (bloom != null && newCount > 0) {
-        val inc = buildBloom(newUrls.toDF())
+        val inc = buildBloom(newUrlsCached.toDF())
         bloom.mergeInPlace(inc)
       }
 
       // ---- rotate state ----
-      frontier.unpersist()
-      seen.unpersist()
       stepOut.unpersist()
-      cand.unpersist()
-      newUrls.unpersist()
-      gated.unpersist()
-      nextFrontier.unpersist()
+      candCached.unpersist()
+      newUrlsCached.unpersist()
       if (matchedToRelease != null) matchedToRelease.unpersist()
       if (deferred != null) deferred.unpersist()
       frontier = committedFrontier
       frontierCount = newFrontierCount
       seen = newSeen
-      seenCount = newSeenCount
+      seenCount = seenCount + newCount
       roundsLog :+= counters
       prevCounters = counters
       emptyFrontier = frontierCount == 0

@@ -246,16 +246,20 @@ object PagesGen {
     if (tail && mod % 5 == 2) {
       return Seq.empty // missing row: network error when linked
     }
-    // tree children (binary) + parent back-link (dedup pressure)
+    // tree children (branching factor 16 → BFS depth ~log16(block), so a
+    // crawl is few rounds of big fetches, not many rounds of small ones)
+    val bf = 16
     val links = Vector.newBuilder[String]
-    val c1 = 2 * local + 1
-    val c2 = 2 * local + 2
-    if (c1 < size) links += spec.urlOf(start + c1)
-    if (c2 < size) links += spec.urlOf(start + c2)
-    if (local > 0) links += spec.urlOf(start + (local - 1) / 2) // parent (always dup)
+    var ci = 1
+    while (ci <= bf) {
+      val c = bf.toLong * local + ci
+      if (c < size) links += spec.urlOf(start + c)
+      ci += 1
+    }
+    if (local > 0) links += spec.urlOf(start + (local - 1) / bf) // parent (always dup)
     if (mod % 7 == 0) links += s"${spec.hostName((h + 1) % spec.hosts)}/page0-external" // external, recorded not followed
     if (mod % 31 == 0) links += s"$hostUrl/excluded/$id" // robots-denied candidate
-    val filler = s"Deterministic filler text for page $id on host $h. " * (1 + (id % 5).toInt)
+    val filler = s"Deterministic filler text for page $id on host $h. " * (4 + (id % 8).toInt)
     val body =
       s"""<!DOCTYPE html>
          |<html><head><title>Page $id</title></head>

@@ -30,13 +30,16 @@ object TableIO {
   private def manifestPath(dir: String, round: Int) =
     Paths.get(dir, f"manifest-r$round%05d.json")
 
+  /** `counters` is by-name: evaluated AFTER the data writes land (so it can
+    * read Observation metrics attached to those writes) and before the
+    * manifest commit. */
   def commit(
       spark: SparkSession,
       dir: String,
       round: Int,
       tables: Map[String, DataFrame],
       seeds: Seq[String],
-      counters: Map[String, Long]
+      counters: => Map[String, Long]
   ): Snapshot = {
     Files.createDirectories(Paths.get(dir))
     val paths = tables.map { case (name, df) =>

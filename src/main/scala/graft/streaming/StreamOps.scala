@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/**
+ * Structured Streaming operators over the events stream (readStream →
+ * transform → writeStream). The crawl engine itself is the iterative
+ * micro-batch workload (SURVEY.md §2.8 St1); these are the continuous
+ * counterparts a live ingestion pipeline needs: watermarked event-time
+ * windows with late-data handling, and custom per-key state via
+ * flatMapGroupsWithState (sessionization).
+ */
+object StreamOps {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+  final case class SessionOut(user_id: Long, n_events: Int, start: Timestamp, end: Timestamp)
+  final case class SessionState(n: Int, start: Long, last: Long)
+
+  /** Tumbling event-time windows with a watermark: late events beyond
+    * `lateness` are dropped; emits per (window, event_type) counts/sums. */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour", lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Batch-equivalent of `windowedCounts` (the verification oracle:
+    * date_trunc-based so it is SQL-expressible in DuckDB too). */
+  def windowedCountsBatch(events: DataFrame): DataFrame =
+    events.groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+
+  /** Gap-based sessionization with custom state: a session closes after
+    * `gapMinutes` of event-time inactivity (processing-time timeout drives
+    * emission; state is the running event count + bounds). */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val outEnc = Encoders.product[SessionOut]
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, evs, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.n, new Timestamp(s.start), new Timestamp(s.last)))
+          } else {
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMinutes * 60000L =>
+                  cur = Some(SessionState(s.n + 1, s.start, math.max(s.last, t)))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, s.n, new Timestamp(s.start), new Timestamp(s.last))
+                  cur = Some(SessionState(1, t, t))
+                case None =>
+                  cur = Some(SessionState(1, t, t))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMinutes * 60000L)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.Event
+import java.sql.Timestamp
+
+/** Structured Streaming: watermarked windowed aggregation (vs its batch
+  * equivalent on the same data) and stateful sessionization. */
+class StreamOpsSpec extends AnyFunSuite {
+
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp = new Timestamp(1767225600000L + minute * 60000L)
+
+  test("windowedCounts (stream) equals windowedCountsBatch on the same events") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val events = Seq(
+      Event(1, ts(0), 1, "view", 1.0), Event(2, ts(10), 1, "view", 2.0),
+      Event(3, ts(30), 2, "click", 3.0), Event(4, ts(70), 2, "view", 4.0),
+      Event(5, ts(90), 3, "click", 5.0), Event(6, ts(61), 1, "view", 0.5))
+    val q = StreamOps.windowedCounts(input.toDF(), "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("wc_out").outputMode("complete").start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("wc_out")
+        .select("window_start", "event_type", "n", "sum_value")
+        .collect().map(_.toSeq).toSet
+      val batch = StreamOps.windowedCountsBatch(events.toDF())
+        .select(col("window_start"), col("event_type"), col("n"), col("sum_value"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(streamed.size == 4) // (h0 view, h0 click, h1 view, h1 click)
+    } finally q.stop()
+  }
+
+  test("watermark drops events later than the allowed lateness") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamOps.windowedCounts(input.toDF(), "1 hour", "1 hour")
+      .writeStream.format("memory").queryName("wm_out").outputMode("append").start()
+    try {
+      input.addData(Event(1, ts(30), 1, "view", 1.0))
+      q.processAllAvailable()
+      // advance watermark far past the first window
+      input.addData(Event(2, ts(300), 1, "view", 1.0))
+      q.processAllAvailable()
+      // this event is 5 hours late → dropped
+      input.addData(Event(3, ts(31), 1, "view", 100.0))
+      q.processAllAvailable()
+      input.addData(Event(4, ts(400), 1, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("wm_out").collect()
+      val h0 = rows.filter(_.getAs[Timestamp]("window_start") == ts(0))
+      assert(h0.length == 1)
+      assert(h0.head.getAs[Long]("n") == 1) // the late event did not count
+    } finally q.stop()
+  }
+
+  test("sessionize: gap-based sessions close on event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = StreamOps.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart (one session), then silence
+      // user 2: one event
+      input.addData(Event(1, ts(0), 1, "v", 1), Event(2, ts(10), 1, "v", 1), Event(3, ts(5), 2, "v", 1))
+      q.processAllAvailable()
+      // watermark pushes far ahead → both sessions time out and emit
+      input.addData(Event(9, ts(500), 9, "v", 1))
+      q.processAllAvailable()
+      input.addData(Event(10, ts(900), 9, "v", 1))
+      q.processAllAvailable()
+      val out = spark.table("sess_out").as[StreamOps.SessionOut].collect()
+        .map(s => s.user_id -> s.n_events).toMap
+      assert(out.get(1L).contains(2))
+      assert(out.get(2L).contains(1))
+    } finally q.stop()
+  }
+}
