@@ -23,6 +23,10 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// optional tmpfs redirect for shuffle/checkpoint IO (bench: GRAFT_TMPDIR=/dev/shm)
+javaOptions ++= sys.env.get("GRAFT_TMPDIR").toSeq.map(d => s"-Djava.io.tmpdir=$d")
+// extra JVM/system-property knobs for bench experiments
+javaOptions ++= sys.env.get("GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

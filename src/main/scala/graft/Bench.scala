@@ -21,9 +21,12 @@ object Bench {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(app)
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.shuffle.partitions", (cpus * 2).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // feed all cores: default 128m splits would give the ~GB pages scan
+      // (the dominant stage) fewer partitions than cores
+      .config("spark.sql.files.maxPartitionBytes", sys.env.getOrElse("SPARK_GRAFT_SPLIT", "16m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -56,6 +59,25 @@ object Bench {
     val denied = run.rounds.map(_.robotsDenied).sum
     CrawlBenchResult(sec, fetched + denied, fetched + denied + deduped,
       run.rounds.size, fetched, deduped, denied)
+  }
+
+  /** Optional stage-time telemetry (SPARK_GRAFT_STAGE_LOG=1): wall, summed
+    * task time and summed GC time per stage, to stderr. */
+  def attachStageLogger(spark: SparkSession): Unit = {
+    import org.apache.spark.scheduler._
+    spark.sparkContext.addSparkListener(new SparkListener {
+      private val t0 = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit =
+        t0.put(e.stageInfo.stageId, System.nanoTime())
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val si = e.stageInfo
+        val wall = Option(t0.get(si.stageId)).map(t => (System.nanoTime() - t) / 1e9).getOrElse(-1.0)
+        val m = si.taskMetrics
+        System.err.println(f"[stage] id=${si.stageId}%4d tasks=${si.numTasks}%4d wall=$wall%7.2fs " +
+          f"taskTime=${m.executorRunTime / 1e3}%8.1fs gc=${m.jvmGCTime / 1e3}%7.1fs " +
+          f"cpu=${m.executorCpuTime / 1e9}%8.1fs ${si.name.takeWhile(_ != '(')}")
+      }
+    })
   }
 
   def main(args: Array[String]): Unit = {

@@ -4,41 +4,87 @@ package graft
  * The BASELINE.json two-cluster-size criterion, evidenced in-sandbox
  * (BASELINE.md "Sandbox measurement protocol"): the identical crawl job on
  * the identical generated pages table at local[8] (N) and local[32] (4N),
- * reporting throughput at both and efficiency = (throughput32/throughput8)/4.
+ * reporting throughput at both; efficiency = (throughput32/throughput8)/4.
  *
- * Prints one JSON line; results are recorded in BASELINE.md.
+ * Each phase runs in its OWN JVM (sbt forks per runMain) so the second
+ * measurement doesn't inherit the first one's heap/GC state:
+ *
+ *   sbt "runMain graft.ScalingBench gen 1000000"
+ *   sbt "runMain graft.ScalingBench run 8 1000000"
+ *   sbt "runMain graft.ScalingBench run 32 1000000"
+ *
+ * Each `run` prints one JSON line; efficiency is computed from the two.
  */
 object ScalingBench {
-  def main(args: Array[String]): Unit = {
-    val n = sys.env.getOrElse("SPARK_GRAFT_CRAWL_N", "1000000").toLong
-    val hosts = 8
 
-    // generate once with full parallelism, reuse for both runs
-    val gen = Bench.buildSession(32, "graft-scaling-gen")
-    val pagesDir = Bench.generatePages(gen, n, hosts, 64)
-    val warmN = 20000L
-    val warmDir = Bench.generatePages(gen, warmN, hosts, 32)
-    gen.stop()
+  private val hosts = 8
+  private def pagesDir(n: Long) = s"/tmp/graft_scaling_pages_$n"
+  private def warmDir = "/tmp/graft_scaling_pages_warm"
+  private val warmN = 20000L
 
-    def runAt(cpus: Int): Bench.CrawlBenchResult = {
-      val s = Bench.buildSession(cpus, s"graft-scaling-$cpus")
-      // warm JIT/code paths with a small untimed crawl so neither run pays
-      // first-compilation costs
-      Bench.crawlBench(s, warmDir, warmN, hosts)
-      val r = Bench.crawlBench(s, pagesDir, n, hosts)
+  def main(args: Array[String]): Unit = args.toList match {
+    case "gen" :: nStr :: Nil =>
+      val n = nStr.toLong
+      val s = Bench.buildSession(32, "graft-scaling-gen")
+      graft.sources.PagesGen.scale(s, n, hosts, 64)
+        .write.mode("overwrite").parquet(pagesDir(n))
+      graft.sources.PagesGen.scale(s, warmN, hosts, 32)
+        .write.mode("overwrite").parquet(warmDir)
       s.stop()
-      r
-    }
+      println(s"""{"metric":"gen","n":$n,"pagesDir":"${pagesDir(n)}"}""")
 
-    val r8 = runAt(8)
-    val r32 = runAt(32)
-    val tp8 = r8.processed / r8.seconds
-    val tp32 = r32.processed / r32.seconds
-    val eff = (tp32 / tp8) / 4.0
-    println(
-      s"""{"metric":"scaling_efficiency","value":${f"$eff%.3f"},"unit":"ratio","n":$n,""" +
-      s""""t8_sec":${f"${r8.seconds}%.2f"},"t32_sec":${f"${r32.seconds}%.2f"},""" +
-      s""""urls_per_sec_8":${f"$tp8%.1f"},"urls_per_sec_32":${f"$tp32%.1f"},""" +
-      s""""processed":${r8.processed},"rounds":${r8.rounds}}""")
+    case "run" :: cpusStr :: nStr :: Nil =>
+      val cpus = cpusStr.toInt
+      val n = nStr.toLong
+      val s = Bench.buildSession(cpus, s"graft-scaling-$cpus")
+      if (sys.env.contains("SPARK_GRAFT_STAGE_LOG")) Bench.attachStageLogger(s)
+      // warm JIT/code paths with a small untimed crawl
+      Bench.crawlBench(s, warmDir, warmN, hosts)
+      val r = Bench.crawlBench(s, pagesDir(n), n, hosts)
+      s.stop()
+      val tp = r.processed / r.seconds
+      println(
+        s"""{"metric":"crawl_throughput","cpus":$cpus,"n":$n,"sec":${f"${r.seconds}%.2f"},""" +
+        s""""processed":${r.processed},"urls_per_sec":${f"$tp%.1f"},"rounds":${r.rounds},""" +
+        s""""fetched":${r.fetched},"deduped":${r.deduped},"robots_denied":${r.robotsDenied}}""")
+
+    case "control" :: threadsStr :: rest if rest.size <= 1 =>
+      // Pure-JVM control: the tokenizer kernel across a thread pool —
+      // measures THIS VM's thread-scaling ceiling so the crawl's scaling can
+      // be normalized against hardware reality, independent of Spark.
+      // Default: cache-hot (2k resident docs → CPU ceiling). With a large
+      // distinct-doc count (e.g. `control 16 200000`) the working set
+      // streams from RAM → memory-bandwidth ceiling, which is what the
+      // Spark path (parquet scan → UnsafeRow → write) is bound by.
+      val threads = threadsStr.toInt
+      val nDocs = rest.headOption.map(_.toInt).getOrElse(2000)
+      val bodies = (0 until nDocs).map { i =>
+        graft.sources.PagesGen.htmlWithLinks(Seq.tabulate(16)(j => s"http://h.test/p${i}_$j")) +
+          ("lorem ipsum dolor sit amet " * (20 + i % 30))
+      }.toArray
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+      // fixed work per thread, scaled so total docs stays tractable when the
+      // distinct working set is large
+      val work = threads * math.max(1, 40 * 2000 / nDocs)
+      // warmup
+      (0 until 2000).foreach(i => graft.htmlkit.HtmlKit.extractText(bodies(i % bodies.length)))
+      val t0 = System.nanoTime()
+      val futs = (0 until work).map { w =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            var i = 0
+            while (i < bodies.length) { graft.htmlkit.HtmlKit.extractText(bodies(i)); i += 1 }
+          }
+        })
+      }
+      futs.foreach(_.get())
+      val sec = (System.nanoTime() - t0) / 1e9
+      pool.shutdown()
+      val docs = work.toLong * bodies.length
+      println(s"""{"metric":"control","threads":$threads,"sec":${f"$sec%.2f"},"docs":$docs,"docs_per_sec":${f"${docs / sec}%.1f"},"docs_per_sec_per_thread":${f"${docs / sec / threads}%.1f"}}""")
+
+    case _ =>
+      System.err.println("usage: ScalingBench gen <n> | ScalingBench run <cpus> <n> | ScalingBench control <threads>")
+      sys.exit(2)
   }
 }

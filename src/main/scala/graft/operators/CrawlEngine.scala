@@ -276,14 +276,20 @@ final class CrawlEngine(
     var done = prevCounters.done
     var roundsLog = Vector.empty[RoundCounters]
 
-    // cumulative Bloom over (seed, url) keys — rebuilt from seen on entry
+    // Cumulative Bloom over (seed, url) keys, rebuilt from seen on entry.
+    // Increments are collected as COMPACT 64-bit hashes (xxhash64, computed
+    // in the plan, codegen'd) and inserted driver-side: a treeAggregate of
+    // BloomFilter partials would serialize a multi-MB zero value into every
+    // task binary and ship a multi-MB partial back per task -- measured to
+    // anti-scale with core count. (At 10^10-URL rounds the same hash column
+    // feeds a treeAggregate of per-partition blooms instead, where the fixed
+    // per-task cost is amortized over millions of rows per task.)
     var bloom: BloomFilter = null
-    def buildBloom(df: DataFrame): BloomFilter = {
-      val zero = BloomFilter.create(cfg.bloomExpectedInsertions, cfg.bloomFpp)
-      df.select(concat_ws("\u0001", col("seed"), col("url"))).as[String].rdd
-        .treeAggregate(zero)(
-          (bf, s) => { bf.putString(s); bf },
-          (a, b) => { a.mergeInPlace(b); a })
+    def keyHashCol = xxhash64(concat_ws("\u0001", col("seed"), col("url")))
+    def bloomInsert(df: DataFrame): Unit = {
+      val hashes = df.select(keyHashCol.as("h")).as[Long].collect()
+      if (bloom == null) bloom = BloomFilter.create(cfg.bloomExpectedInsertions, cfg.bloomFpp)
+      hashes.foreach(bloom.putLong)
     }
 
     var round = startRound
@@ -355,19 +361,17 @@ final class CrawlEngine(
         .persist(StorageLevel.MEMORY_AND_DISK)
       val cand = candCached.observe(obsCand, count(lit(1)).as("n"))
 
+      if (bloom == null && seenCount >= cfg.bloomMinSeen) bloomInsert(seen)
       val newUrlsCached = {
-        val base =
-          if (bloom == null && seenCount >= cfg.bloomMinSeen) { bloom = buildBloom(seen); cand }
-          else cand
         if (bloom != null) {
           val bloomBc = sc.broadcast(bloom)
-          val mightContain = udf((seed: String, url: String) =>
-            bloomBc.value.mightContainString(seed + "\u0001" + url))
-          val maybeSeen = base.filter(mightContain(col("seed"), col("url")))
-          val definitelyNew = base.filter(!mightContain(col("seed"), col("url")))
+          val mightContain = udf((h: Long) => bloomBc.value.mightContainLong(h))
+          val keyed = cand.withColumn("_h", keyHashCol)
+          val maybeSeen = keyed.filter(mightContain(col("_h"))).drop("_h")
+          val definitelyNew = keyed.filter(!mightContain(col("_h"))).drop("_h")
           maybeSeen.join(seen, Seq("seed", "url"), "left_anti").unionByName(definitelyNew)
         } else {
-          base.join(seen, Seq("seed", "url"), "left_anti")
+          cand.join(seen, Seq("seed", "url"), "left_anti")
         }
       }.persist(StorageLevel.MEMORY_AND_DISK)
       val newUrls = newUrlsCached.observe(obsNew, count(lit(1)).as("n"))
@@ -429,10 +433,7 @@ final class CrawlEngine(
       val newSeen = spark.read.parquet(seenIncPaths(round): _*)
 
       // ---- bloom maintenance ----
-      if (bloom != null && newCount > 0) {
-        val inc = buildBloom(newUrlsCached.toDF())
-        bloom.mergeInPlace(inc)
-      }
+      if (bloom != null && newCount > 0) bloomInsert(newUrlsCached.toDF())
 
       // ---- rotate state ----
       stepOut.unpersist()

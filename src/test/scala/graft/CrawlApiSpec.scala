@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{CrawlApi, CrawlEngine}
+import graft.sources.PagesGen
+
+/** Ports of the api.rs tests (/root/reference/src/api.rs:204-390): bad-seed
+  * 400, crawler-error 500 propagation, and the JSON payload shapes of
+  * crawl/list/count/status. */
+class CrawlApiSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private lazy val api = new CrawlApi(spark, PagesGen.fixtures(spark))
+
+  test("bad seed → IllegalArgumentException with the parse-error text (api.rs:266-277)") {
+    val e = intercept[IllegalArgumentException] { api.count("not a url") }
+    assert(e.getMessage == "relative URL without a base")
+  }
+
+  test("crawler error propagates (api.rs:279-289 → 500)") {
+    intercept[CrawlEngine.CrawlFailedException] {
+      api.crawl(s"${PagesGen.host("robots-failure")}/start")
+    }
+  }
+
+  test("crawl endpoint JSON shape (api.rs:291-337)") {
+    val h = PagesGen.host("multi-links")
+    val json = api.crawlJson(s"$h/start")
+    assert(json.startsWith("""{"pages": {"""))
+    assert(json.contains(s""""$h/link1": {"Crawled":"""))
+  }
+
+  test("list endpoint is the url projection (api.rs:339-366)") {
+    val h = PagesGen.host("cycle")
+    val urls = api.list(s"$h/start").collect().map(_.getString(0)).sorted
+    assert(urls.toSeq == Seq(s"$h/link1", s"$h/link2", s"$h/start"))
+  }
+
+  test("count endpoint (api.rs:369-389)") {
+    assert(api.count("http://127.0.0.1:8000/start") == 6)
+  }
+
+  test("status reflects finished crawls' counters (api.rs:189-202)") {
+    val h = PagesGen.host("cycle")
+    api.count(s"$h/start")
+    val st = api.status
+    assert(st(s"$h/start") == ((3L, 0L)))
+  }
+}
