@@ -1,0 +1,94 @@
+package graft.functions
+
+import graft.urlkit.UrlKit
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Native Catalyst expressions for the hottest URL scalars — stay inside
+ * whole-stage codegen instead of the UDF serialization boundary.
+ *
+ * `UrlStripFragment` (crawler.rs:276-279 semantics over already-canonical
+ * urls: cut at the first '#') runs on every candidate link of every crawl
+ * round, and `UrlKeyHash` feeds the Bloom seen-filter; both generate
+ * straight-line Java. The heavyweight kit functions (parse/join/tokenize)
+ * stay as UDFs on purpose — their cost is the algorithm, not the call
+ * boundary.
+ */
+case class UrlStripFragment(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val idx = s.toString.indexOf('#')
+    if (idx < 0) s else UTF8String.fromString(s.toString.substring(0, idx))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |UTF8String ${ev.value}_in = $c;
+         |int ${ev.value}_idx = ${ev.value}_in.toString().indexOf('#');
+         |${ev.value} = ${ev.value}_idx < 0 ? ${ev.value}_in
+         |  : UTF8String.fromString(${ev.value}_in.toString().substring(0, ${ev.value}_idx));
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "url_strip_fragment_native"
+}
+
+/** WHATWG `domain()` as an expression: null for IPs / no-host / unparseable. */
+case class UrlDomain(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    UrlKit.domainStr(input.asInstanceOf[UTF8String].toString)
+      .map(UTF8String.fromString).orNull
+
+  // non-codegen body (kit call), but still avoids the UDF encoder boundary
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kit = UrlKit.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |scala.Option ${ev.value}_d = $kit.domainStr($c.toString());
+         |if (${ev.value}_d.isEmpty()) {
+         |  ${ev.isNull} = true;
+         |  ${ev.value} = null;
+         |} else {
+         |  ${ev.value} = UTF8String.fromString((String) ${ev.value}_d.get());
+         |}
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "url_domain_native"
+}
+
+object UrlExpressions {
+
+  /** Register the native expressions; use them as columns via
+    * `functions.call_function("url_strip_fragment_native", c)` (the Column
+    * companion is private to Spark in 4.x, so SQL registration is the
+    * public bridge). */
+  def registerAll(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "url_strip_fragment_native", exprs => UrlStripFragment(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "url_domain_native", exprs => UrlDomain(exprs.head), "built-in")
+  }
+
+  def url_strip_fragment_native(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("url_strip_fragment_native", c)
+  def url_domain_native(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("url_domain_native", c)
+}

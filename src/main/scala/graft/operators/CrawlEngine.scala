@@ -138,6 +138,8 @@ final class CrawlEngine(
   // explicit column pruning: the fetch join only ever needs (url, html)
   private val pagesSlim = pages.select(col("url"), col("html"))
 
+  graft.functions.UrlExpressions.registerAll(spark)
+
   /** Reference single-seed API: GET /crawl/{seed} (api.rs:119-135). */
   def crawl(seed: String): CrawlRun = crawlAll(Seq(seed))
 
@@ -315,8 +317,9 @@ final class CrawlEngine(
       // The wire request never carries a fragment (reqwest strips it), so
       // the lookup key is the fragment-stripped url while the row is still
       // recorded under the original url (fragment seeds / redirect targets).
-      val stripFrag = udf((u: String) => UrlKit.stripFragmentStr(u))
-      val toFetchK = toFetch.withColumn("fetch_url", stripFrag(col("url")))
+      // Native codegen expression — no UDF boundary on the per-row hot key.
+      val toFetchK = toFetch.withColumn("fetch_url",
+        graft.functions.UrlExpressions.url_strip_fragment_native(col("url")))
       val pagesK = pagesSlim.withColumnRenamed("url", "fetch_url")
       // An outer join can never broadcast its preserved side, so the
       // broadcast-frontier plan is inner-join + tiny anti-join:
