@@ -83,7 +83,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val crawlN = sys.env.getOrElse("SPARK_GRAFT_CRAWL_N", "120000").toLong
+    val crawlN = sys.env.getOrElse("SPARK_GRAFT_CRAWL_N", "400000").toLong
     val hosts = 8
     val spark = buildSession(cpus, "graft-bench")
 
