@@ -57,6 +57,10 @@ final case class CrawlConfig(
     bloomMinSeen: Long = 10000L,
     /** frontier row-count under which the fetch join broadcasts the frontier */
     broadcastFrontierMaxRows: Long = 2L * 1000 * 1000,
+    /** host-hash shards for frontier partition lineage (north rule) */
+    numShards: Int = 32,
+    /** salt buckets splitting a skewed host inside the politeness window */
+    saltBuckets: Int = 4,
     checkpointEvery: Int = 1
 )
 
@@ -73,7 +77,7 @@ object CrawlEngine {
   val OtherContent = "OtherContent"
   val Excluded = "ExcludedByRobotsTxt"
 
-  private[operators] final case class FrontierRow(seed: String, url: String, host: String, depth: Int)
+  private[operators] final case class FrontierRow(seed: String, url: String, host: String, depth: Int, host_shard: Int)
   private[operators] final case class StepIn(seed: String, url: String, host: String, depth: Int, html: Array[Byte])
   private[operators] final case class StepOut(
       seed: String, url: String, depth: Int,
@@ -118,6 +122,11 @@ object CrawlEngine {
   private def hostOf(url: String): String =
     UrlKit.parse(url).toOption.flatMap(u =>
       u.host.map(h => h.serialize + u.port.map(":" + _).getOrElse(""))).getOrElse("")
+
+  private[operators] def hostShardOf(host: String, numShards: Int): Int = {
+    val h = graft.textkit.TextKit.fnv64(host)
+    (((h % numShards) + numShards) % numShards).toInt
+  }
 
   final class CrawlFailedException(val seed: String, msg: String) extends RuntimeException(msg)
 }
@@ -189,7 +198,10 @@ final class CrawlEngine(
     val liveSeeds = seedStrs.filterNot(failures.contains)
 
     // seed add_link (crawler.rs:355 → :233-246): seen-insert + robots gate
-    val seedRows = liveSeeds.map(s => FrontierRow(s, s, hostOf(s), 0))
+    val seedRows = liveSeeds.map { s =>
+      val host = hostOf(s)
+      FrontierRow(s, s, host, 0, hostShardOf(host, cfg.numShards))
+    }
     val (allowedSeeds, deniedSeeds) = seedRows.partition(r =>
       RobotsKit.allowedByRules(robotsRules(r.seed), RobotsKit.pathParamsQuery(r.url)))
 
@@ -204,7 +216,8 @@ final class CrawlEngine(
       deniedSeeds.size, allowedSeeds.size)
     TableIO.commit(spark, ckptDir, 0,
       Map("frontier" -> frontier0, "seen_inc" -> seen0, "results_inc" -> excluded0),
-      liveSeeds, countersToMap(counters0))
+      liveSeeds, countersToMap(counters0),
+      partitionBy = Map("frontier" -> Seq("host_shard")))
 
     runLoop(liveSeeds, failures, robotsRules, crawlDelays, startRound = 1)
   }
@@ -298,16 +311,29 @@ final class CrawlEngine(
     var emptyFrontier = frontierCount == 0
 
     while (!emptyFrontier && round < startRound + cfg.maxRounds) {
+      sc.setJobDescription(
+        s"crawl round=$round seeds=${seeds.size} frontier=$frontierCount seen=$seenCount")
       // ---- politeness: per-host rank within each crawl ----
       val (toFetch, deferred, deferredCount) =
         if (anyBudget) {
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("seed"), col("host"))
-            .orderBy(col("depth"), col("url"))
-          val ranked = frontier.withColumn("_rk", row_number().over(w))
+          // Salted politeness: a skewed host's frontier rows are split over
+          // min(saltBuckets, budget) salt buckets so no single window
+          // partition holds a whole heavy domain; per-bucket budgets sum
+          // exactly to the host budget (bucket 0 takes the remainder).
           val budgetCol = udf((seed: String) => budgetBc.value.getOrElse(seed, Int.MaxValue))
-          val now = ranked.filter(col("_rk") <= budgetCol(col("seed"))).drop("_rk")
-          val later = ranked.filter(col("_rk") > budgetCol(col("seed"))).drop("_rk")
+          val b = budgetCol(col("seed"))
+          val saltCount = least(lit(cfg.saltBuckets), b)
+          val salted = frontier
+            .withColumn("_salt", pmod(xxhash64(col("url")), saltCount).cast("int"))
+            .withColumn("_bb", when(col("_salt") === 0,
+              b - (saltCount - 1) * (b.cast("long") / saltCount).cast("int"))
+              .otherwise((b.cast("long") / saltCount).cast("int")))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("seed"), col("host"), col("_salt"))
+            .orderBy(col("depth"), col("url"))
+          val ranked = salted.withColumn("_rk", row_number().over(w))
+          val now = ranked.filter(col("_rk") <= col("_bb")).drop("_rk", "_salt", "_bb")
+          val later = ranked.filter(col("_rk") > col("_bb")).drop("_rk", "_salt", "_bb")
             .persist(StorageLevel.MEMORY_AND_DISK)
           val dc = later.count()
           (now, later, dc)
@@ -332,7 +358,7 @@ final class CrawlEngine(
       val joined =
         if (frontierCount <= cfg.broadcastFrontierMaxRows) {
           val matched = pagesK.join(broadcast(toFetchK), Seq("fetch_url"), "inner")
-            .select(col("seed"), col("url"), col("host"), col("depth"), col("html"), col("fetch_url"))
+            .select(col("seed"), col("url"), col("host"), col("depth"), col("host_shard"), col("html"), col("fetch_url"))
             .persist(StorageLevel.MEMORY_AND_DISK)
           matchedToRelease = matched
           val missing = toFetchK
@@ -387,11 +413,14 @@ final class CrawlEngine(
 
       // ---- assemble round outputs ----
       val hostUdf = udf((u: String) => hostOf(u))
+      val nShards = cfg.numShards
+      val shardUdf = udf((h: String) => hostShardOf(h, nShards))
       val nextFromNew = allowedNew
         .withColumn("host", hostUdf(col("url")))
-        .select("seed", "url", "host", "depth")
+        .withColumn("host_shard", shardUdf(col("host")))
+        .select("seed", "url", "host", "depth", "host_shard")
       val nextFrontier =
-        (if (deferred != null) nextFromNew.unionByName(deferred.select("seed", "url", "host", "depth"))
+        (if (deferred != null) nextFromNew.unionByName(deferred.select("seed", "url", "host", "depth", "host_shard"))
          else nextFromNew).observe(obsFrontier, count(lit(1)).as("n"))
 
       val resultsRound = stepOut.drop("candidates", "depth").toDF()
@@ -414,7 +443,7 @@ final class CrawlEngine(
       val fetched = frontierCount - deferredCount
       val snap = TableIO.commit(spark, ckptDir, round,
         Map("frontier" -> nextFrontier, "seen_inc" -> seenInc, "results_inc" -> resultsRound),
-        seeds, {
+        seeds, counters = {
           val discovered = obsCand.get("n").asInstanceOf[Long]
           val newCount = obsNew.get("n").asInstanceOf[Long]
           val newFrontierCount = obsFrontier.get("n").asInstanceOf[Long]
@@ -425,7 +454,7 @@ final class CrawlEngine(
           counters = RoundCounters(round, fetched, discovered, discovered - newCount,
             deniedCount, deferredCount, done, newSeenCount - done)
           countersToMap(counters)
-        })
+        }, partitionBy = Map("frontier" -> Seq("host_shard")))
       val newCount = obsNew.get("n").asInstanceOf[Long]
       val newFrontierCount = obsFrontier.get("n").asInstanceOf[Long]
 

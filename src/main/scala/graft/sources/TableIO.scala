@@ -39,12 +39,28 @@ object TableIO {
       round: Int,
       tables: Map[String, DataFrame],
       seeds: Seq[String],
-      counters: => Map[String, Long]
+      counters: => Map[String, Long],
+      partitionBy: Map[String, Seq[String]] = Map.empty
   ): Snapshot = {
     Files.createDirectories(Paths.get(dir))
     val paths = tables.map { case (name, df) =>
       val p = Paths.get(dir, f"r$round%05d", name).toString
-      df.write.mode("overwrite").parquet(p)
+      // physical per-partition lineage: e.g. frontier written as
+      // host_shard=K subdirectories (north rule: lineage = seed, round,
+      // host-shard; seed is a column, round is the snapshot dir)
+      partitionBy.get(name).filter(_.nonEmpty) match {
+        case Some(cols) =>
+          df.write.mode("overwrite").partitionBy(cols: _*).parquet(p)
+          // a partitioned write of an EMPTY dataset leaves no files at all
+          // (unreadable schema); rewrite unpartitioned so readers see the schema
+          val hasData = {
+            val st = Files.walk(Paths.get(p))
+            try st.anyMatch(f => f.toString.endsWith(".parquet")) finally st.close()
+          }
+          if (!hasData) df.write.mode("overwrite").parquet(p)
+        case None =>
+          df.write.mode("overwrite").parquet(p)
+      }
       name -> p
     }
     val snap = Snapshot(round, round - 1, seeds, counters, paths)
