@@ -133,6 +133,12 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
         .orderBy("query_id", "rank")
     }),
+    "ann_topk_ivf" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 10, nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
 
     // ---- text analysis ----
     "text_tokens" -> ((s, dir) =>

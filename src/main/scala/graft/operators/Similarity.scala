@@ -80,6 +80,47 @@ object Similarity {
   }
 
   /**
+   * IVF (inverted-file) approximate top-k: the corpus is clustered into
+   * `nlist` cells with MLlib KMeans (fixed seed — deterministic given the
+   * data); each query probes its `nprobe` nearest centroids and verifies
+   * exact cosine only against those cells. The classic ANN scale path:
+   * at 100 TB the cell assignment is a precomputed column, so a query
+   * batch touches ~nprobe/nlist of the corpus.
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              vecCol: String = "embedding", idCol: String = "vec_id",
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.Vector
+
+    val feat = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("features", array_to_vector(col("cv").cast("array<double>")))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10).fit(feat)
+    val assigned = model.transform(feat).withColumnRenamed("prediction", "cell")
+      .select("neighbor_id", "cv", "cell")
+
+    val centers: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
+    val probeUdf = udf { (v: Seq[Float]) =>
+      centers.zipWithIndex.map { case (c, i) =>
+        var d = 0.0; var j = 0
+        while (j < c.length) { val x = v(j) - c(j); d += x * x; j += 1 }
+        (i, d)
+      }.sortBy(_._2).take(nprobe).map(_._1)
+    }
+    val qs = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("cell", explode(probeUdf(col("qv"))))
+    val cosUdf = udf((a: Seq[Float], b: Seq[Float]) => cosine(a.toArray, b.toArray))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    assigned.join(broadcast(qs), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosUdf(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /**
    * LSH-bucketed approximate top-k: `tables` independent hyperplane
    * families; the corpus is bucketed by (table, signature); each query
    * probes its own bucket plus all 1-bit-flip neighbors in every table.

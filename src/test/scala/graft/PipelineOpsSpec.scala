@@ -111,6 +111,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall too low") // 8 tables × 5-bit multiprobe, 500 vecs
   }
 
+  test("IVF top-k: recall vs brute force with nprobe=4 of 16 cells") {
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, 5, nlist = 16, nprobe = 4).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall $recall too low")
+    // determinism: fixed seed → same cells → same results
+    val ivf2 = Similarity.ivfTopK(emb, queries, 5, nlist = 16, nprobe = 4).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(ivf == ivf2)
+  }
+
   test("language id: deterministic heuristic with real stopword texts") {
     assert(TextKit.langId("the cat sat on the mat and it was happy") == "en")
     assert(TextKit.langId("der Hund ist nicht mit der Katze und sie") == "de")

@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.htmlkit.HtmlKit
+import graft.robotskit.RobotsKit
+import graft.textkit.TextKit
+
+/** ScalaCheck property coverage the reference lacks (SURVEY §5): tokenizer
+  * totality/determinism on arbitrary input, robots matcher invariants,
+  * minhash/jaccard bounds. (URL canonicalization properties live in
+  * UrlKitSpec.) */
+class PropertySpec extends AnyFunSuite {
+
+  private def forAll[A](gen: Gen[A], n: Int = 300)(body: A => Unit): Unit = {
+    var seed = Seed(42L)
+    (0 until n).foreach { _ =>
+      gen.apply(Gen.Parameters.default, seed).foreach(body)
+      seed = seed.next
+    }
+  }
+
+  private val htmlGen: Gen[String] = {
+    val frag = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(12)),
+      Gen.oneOf("<", ">", "</", "<!", "<!--", "-->", "&", "&amp;", "&#x41;", "\"", "'", "=", "/>",
+        "<a href=", "<a href=\"/x\">", "</a>", "<script>", "</script>", "<style>", " ", "\n"))
+    Gen.listOf(frag).map(_.mkString)
+  }
+
+  test("property: tokenizer is total and deterministic on arbitrary soup") {
+    forAll(htmlGen) { html =>
+      val a = HtmlKit.extractText(html)
+      val b = HtmlKit.extractText(html)
+      assert(a == b)
+      val l1 = HtmlKit.extractLinksStr("https://e.com/base", html)
+      val l2 = HtmlKit.extractLinksStr("https://e.com/base", html)
+      assert(l1 == l2)
+      // every extracted link is an absolute canonical url
+      l1.foreach(l => assert(graft.urlkit.UrlKit.parse(l.url).isRight))
+    }
+  }
+
+  private val robotsGen: Gen[String] = {
+    val line = Gen.oneOf(
+      Gen.const("User-agent: *"),
+      Gen.const("User-agent: MikesCrawler"),
+      Gen.const("User-agent: OtherBot"),
+      Gen.alphaNumStr.map(s => s"Disallow: /${s.take(8)}"),
+      Gen.alphaNumStr.map(s => s"Allow: /${s.take(8)}"),
+      Gen.alphaNumStr.map(s => s"Disallow: /${s.take(5)}*"),
+      Gen.alphaNumStr.map(s => s"Disallow: /${s.take(5)}$$"),
+      Gen.const("# comment"),
+      Gen.const("Crawl-delay: 2"),
+      Gen.const(""))
+    Gen.listOf(line).map(_.mkString("\n"))
+  }
+
+  test("property: robots matcher is total, deterministic, and allow-by-default") {
+    val pathGen = Gen.alphaNumStr.map(s => s"https://e.com/${s.take(10)}")
+    forAll(Gen.zip(robotsGen, pathGen)) { case (robots, url) =>
+      val a = RobotsKit.allowed(robots, "MikesCrawler", url)
+      assert(a == RobotsKit.allowed(robots, "MikesCrawler", url))
+      // no rules at all → allowed
+      if (!robots.toLowerCase.contains("disallow")) assert(a)
+    }
+  }
+
+  test("property: minhash similarity stays within [0,1] and respects identity") {
+    val textGen = Gen.listOf(Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta"))
+      .map(_.mkString(" "))
+    forAll(Gen.zip(textGen, textGen)) { case (a, b) =>
+      val sa = TextKit.shingleHashes(a, 2)
+      val sb = TextKit.shingleHashes(b, 2)
+      val j = TextKit.jaccard(sa, sb)
+      assert(j >= 0.0 && j <= 1.0)
+      assert(TextKit.jaccard(sa, sa) == 1.0)
+      val est = TextKit.minhashSimilarity(TextKit.minhash(sa, 64), TextKit.minhash(sb, 64))
+      assert(est >= 0.0 && est <= 1.0)
+      if (a == b) assert(est == 1.0)
+    }
+  }
+
+  test("property: simhash hamming distance is a pseudo-metric under token edits") {
+    val textGen = Gen.listOfN(20, Gen.oneOf("w1", "w2", "w3", "w4", "w5")).map(_.mkString(" "))
+    forAll(textGen) { t =>
+      val h = TextKit.simhash64(t)
+      assert(TextKit.hammingDistance(h, h) == 0)
+      // chunk banding is consistent with the full hash
+      val chunks = TextKit.simhashChunks(h)
+      assert(chunks.length == 4)
+      val rebuilt = chunks.zipWithIndex.map { case (c, i) => c.toLong << (16 * i) }.reduce(_ | _)
+      assert(rebuilt == h)
+    }
+  }
+}
