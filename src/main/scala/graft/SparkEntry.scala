@@ -93,6 +93,31 @@ object SparkEntry {
     "q1_agg" -> ((s, dir) => { view(s, dir, "lineitem"); s.sql(q1Sql) }),
     "q_join_agg" -> ((s, dir) => { view(s, dir, "orders", "customer", "nation"); s.sql(joinAggSql) }),
     "q_window_topk" -> ((s, dir) => { view(s, dir, "orders"); s.sql(windowTopkSql) }),
+    // bucketing demo: co-located sort-merge join, zero shuffle on either
+    // fact side (the scale path for the crawl seen-anti-join, README)
+    "q_join_agg_bucketed" -> ((s, dir) => {
+      if (!s.catalog.tableExists("orders_bkt")) {
+        // clear stale managed-table locations from a previous process
+        val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+        Seq("orders_bkt", "customer_bkt").foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          val p = java.nio.file.Paths.get(wh, t)
+          if (java.nio.file.Files.exists(p)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(p).iterator().asScala.toList.reverse
+              .foreach(java.nio.file.Files.delete)
+          }
+        }
+        s.read.parquet(s"$dir/orders.parquet").write.mode("overwrite")
+          .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("orders_bkt")
+        s.read.parquet(s"$dir/customer.parquet").write.mode("overwrite")
+          .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("customer_bkt")
+      }
+      view(s, dir, "nation")
+      s.sql(joinAggSql
+        .replace("FROM orders", "FROM orders_bkt")
+        .replace("JOIN customer ", "JOIN customer_bkt "))
+    }),
     "q_events_hourly" -> ((s, dir) => { view(s, dir, "events"); s.sql(eventsHourlySql) }),
 
     // ---- dedup suite ----
@@ -247,6 +272,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
     "q_join_agg" -> joinAggSql,
+    "q_join_agg_bucketed" -> joinAggSql, // same result, bucketed physical plan
     "q_window_topk" -> windowTopkSql,
     "q_events_hourly" -> eventsHourlySql,
     "dedup_exact" -> dedupExactSql,
