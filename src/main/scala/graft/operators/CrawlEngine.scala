@@ -17,9 +17,10 @@ import org.apache.spark.util.sketch.BloomFilter
  *
  * One crawl round ≙ one micro-batch:
  *
- *   frontier_r (Dataset, persisted)
- *     → per-host politeness budget (window rank over depth,url within host;
- *       robots Crawl-delay honored; deferred rows stay in the frontier)
+ *   frontier_r (host-shard partitioned on disk)
+ *     → per-host politeness budget (salted window rank over depth,url
+ *       within (seed, host, salt) — a skewed domain splits across salt
+ *       buckets; robots Crawl-delay honored; deferred rows stay queued)
  *     → fetch: join against the pages table on url (frontier broadcast to
  *       stream the big table when small; shuffle join + AQE otherwise)
  *     → classify raw HTTP bytes (http_client.rs:64-94 semantics)
@@ -28,14 +29,14 @@ import org.apache.spark.util.sketch.BloomFilter
  *     → candidates: fragment-stripped internal links (crawler.rs:276-279)
  *       + same-domain redirect targets, NOT stripped (crawler.rs:297-309)
  *     → intra-round dedup + Bloom-prefiltered anti-join against `seen`
- *       (exactness from the anti-join; the Bloom filter — per-round build
- *       via treeAggregate, merged on the driver, broadcast — only routes
+ *       (exactness from the anti-join; the cumulative Bloom filter is fed
+ *       from compact xxhash64 key columns and broadcast — it only routes
  *       definitely-new urls around the join; crawler.rs:233-246 / D1)
  *     → robots gate at enqueue time: denied urls recorded as
  *       ExcludedByRobotsTxt, never fetched (crawler.rs:223-243 / P4)
- *     → checkpoint commit (results_r, new-seen increment, frontier_{r+1},
- *       counters + lineage) via TableIO — kill between commits resumes
- *       exactly from the last committed round
+ *     → checkpoint commit (results_r, new-seen increment, frontier_{r+1}
+ *       partitioned by host_shard, counters + lineage) via TableIO — kill
+ *       between commits resumes exactly from the last committed round
  *   until the frontier is empty  (≙ pages.len()==seen.len(), crawler.rs:342)
  *
  * Crawl identity: the engine runs MANY crawls in one job (`seeds`), the
@@ -60,8 +61,7 @@ final case class CrawlConfig(
     /** host-hash shards for frontier partition lineage (north rule) */
     numShards: Int = 32,
     /** salt buckets splitting a skewed host inside the politeness window */
-    saltBuckets: Int = 4,
-    checkpointEvery: Int = 1
+    saltBuckets: Int = 4
 )
 
 final case class RoundCounters(
