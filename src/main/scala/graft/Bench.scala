@@ -51,8 +51,10 @@ object Bench {
   def crawlBench(spark: SparkSession, pagesDir: String, n: Long, hosts: Int): CrawlBenchResult = {
     val pages = spark.read.parquet(pagesDir)
     val spec = PagesGen.ScaleSpec(n, hosts)
+    val cfg = CrawlConfig(bloomMinSeen = 50000,
+      bloomExpectedInsertions = math.max(4L * 1000 * 1000, n + n / 5))
     val t0 = System.nanoTime()
-    val run = new CrawlEngine(spark, pages, CrawlConfig(bloomMinSeen = 50000)).crawlAll(spec.seeds)
+    val run = new CrawlEngine(spark, pages, cfg).crawlAll(spec.seeds)
     val sec = (System.nanoTime() - t0) / 1e9
     val fetched = run.rounds.map(_.fetched).sum
     val deduped = run.rounds.map(_.deduped).sum
