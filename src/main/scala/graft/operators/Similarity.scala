@@ -71,9 +71,14 @@ object Similarity {
     val dot = aggregate(zip_with(col("qv"), col("cv"), (a, b) => a.cast("double") * b.cast("double")),
       lit(0.0), (acc, x) => acc + x)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    // zero-norm guard: an all-zero vector has cosine 0 to everything (the
+    // cosine() helper's convention), not NaN — NaN would sort above all
+    // real similarities in the descending rank
     corp.crossJoin(broadcast(qs))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", dot / (col("qnorm") * col("cnorm")))
+      .withColumn("cosine",
+        when(col("qnorm") * col("cnorm") === 0.0, lit(0.0))
+          .otherwise(dot / (col("qnorm") * col("cnorm"))))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
@@ -100,9 +105,13 @@ object Similarity {
     val assigned = model.transform(feat).withColumnRenamed("prediction", "cell")
       .select("neighbor_id", "cv", "cell")
 
-    val centers: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
+    // centers ride a broadcast, not the UDF closure: at production nlist
+    // (~10^5 cells × dim doubles) closure capture would re-serialize the
+    // whole codebook into every task binary
+    val centersBc = corpus.sparkSession.sparkContext.broadcast(
+      model.clusterCenters.map(_.toArray))
     val probeUdf = udf { (v: Seq[Float]) =>
-      centers.zipWithIndex.map { case (c, i) =>
+      centersBc.value.zipWithIndex.map { case (c, i) =>
         var d = 0.0; var j = 0
         while (j < c.length) { val x = v(j) - c(j); d += x * x; j += 1 }
         (i, d)

@@ -17,6 +17,9 @@ package graft.robotskit
  *  - `*` multi-char wildcard anywhere; `$` anchors only at pattern end
  *  - key names tolerate common typos (dissallow etc.) and "user agent"
  *  - empty-pattern rules match nothing; no robots → allow everything
+ *  - "/robots.txt" itself is implicitly allowed (RFC 9309 §2.3.1)
+ *  - an Allow ending in "/index.htm…" also allows the bare directory
+ *    ("dir/$" expansion, robots.cc HandleAllow)
  *
  * Plus one extension the north-star politeness scheduler needs (not in the
  * matcher): `crawlDelay` extraction with the same group selection.
@@ -80,6 +83,21 @@ object RobotsKit {
               if (value.nonEmpty) {
                 if (inSpecific) specific += Rule(allow, value)
                 if (inGlobal) global += Rule(allow, value)
+                // Google matcher quirk (robots.cc HandleAllow, ported by
+                // robotstxt 0.3.0): an Allow whose last path segment starts
+                // with "index.htm" also allows the bare directory — an extra
+                // "dir/$" pattern is consulted when the original doesn't
+                // match. Since the $-anchored expansion and the original can
+                // never match the same path, adding it as a rule is
+                // observationally identical to the matcher's lazy fallback.
+                if (allow) {
+                  val slash = value.lastIndexOf('/')
+                  if (slash >= 0 && value.substring(slash).startsWith("/index.htm")) {
+                    val expanded = Rule(allow = true, value.substring(0, slash + 1) + "$")
+                    if (inSpecific) specific += expanded
+                    if (inGlobal) global += expanded
+                  }
+                }
               }
             case "crawl-delay" | "crawldelay" =>
               lastWasUserAgent = false
@@ -152,6 +170,9 @@ object RobotsKit {
   }
 
   def allowedByRules(rules: Vector[Rule], path: String): Boolean = {
+    // the robots.txt path itself is implicitly allowed (RFC 9309 §2.3.1;
+    // Google matcher behavior) — no rule set can disallow fetching it
+    if (path == "/robots.txt") return true
     var bestAllow = -1
     var bestDisallow = -1
     rules.foreach { r =>

@@ -128,6 +128,34 @@ class RobotsKitSpec extends AnyFunSuite {
     assert(RobotsKit.crawlDelay("", UA).isEmpty)
   }
 
+  test("/robots.txt is implicitly allowed regardless of rules (RFC 9309 §2.3.1)") {
+    val robots = "User-agent: *\nDisallow: /\n"
+    assert(allowed(robots, "https://e.com/robots.txt"))
+    assert(!allowed(robots, "https://e.com/robots.txt2")) // only the exact path
+    assert(!allowed(robots, "https://e.com/anything"))
+    assert(allowed("User-agent: *\nDisallow: /robots.txt\n", "https://e.com/robots.txt"))
+  }
+
+  test("Allow ending in /index.htm(l) also allows the bare directory (robots.cc expansion)") {
+    val robots =
+      """User-agent: *
+        |Disallow: /
+        |Allow: /dir/index.html
+        |""".stripMargin
+    assert(allowed(robots, "https://e.com/dir/index.html"))
+    assert(allowed(robots, "https://e.com/dir/")) // the dir/$ expansion
+    assert(!allowed(robots, "https://e.com/dir/other")) // $-anchored: only the bare dir
+    assert(!allowed(robots, "https://e.com/dir")) // no trailing slash → no match
+    // expansion applies to the root directory too
+    val rootIdx = "User-agent: *\nDisallow: /\nAllow: /index.htm\n"
+    assert(allowed(rootIdx, "https://e.com/"))
+    assert(allowed(rootIdx, "https://e.com/index.htm"))
+    assert(!allowed(rootIdx, "https://e.com/page"))
+    // Disallow gets no expansion
+    val dis = "User-agent: *\nAllow: /\nDisallow: /dir/index.html\n"
+    assert(allowed(dis, "https://e.com/dir/"))
+  }
+
   test("pattern matcher unit table") {
     import RobotsKit.patternMatches
     assert(patternMatches("/", "/anything"))

@@ -81,6 +81,19 @@ class UrlKitSpec extends AnyFunSuite {
     assert(!UrlKit.sameDomain("http://example.com/", "http://127.0.0.1/"))
   }
 
+  test("IDNA: non-ASCII hosts are punycoded like the url crate (idna/UTS-46)") {
+    // expected forms from RFC 3492 punycode of the lowercased labels
+    assert(UrlKit.canonicalize("http://bücher.de/x").contains("http://xn--bcher-kva.de/x"))
+    assert(UrlKit.canonicalize("http://BÜCHER.de/").contains("http://xn--bcher-kva.de/"))
+    assert(UrlKit.canonicalize("https://日本語.jp/").contains("https://xn--wgv71a119e.jp/"))
+    // mixed ASCII/IDN labels: only the non-ASCII label is encoded
+    assert(UrlKit.canonicalize("http://www.münchen.example/").contains("http://www.xn--mnchen-3ya.example/"))
+    // domain() returns the punycoded form (what url 2.2.2 Url::domain gives)
+    assert(UrlKit.domainStr("http://bücher.de/").contains("xn--bcher-kva.de"))
+    // already-punycoded hosts pass through unchanged
+    assert(UrlKit.canonicalize("http://xn--bcher-kva.de/").contains("http://xn--bcher-kva.de/"))
+  }
+
   test("errors") {
     assert(UrlKit.parse("not a url") == Left("relative URL without a base"))
     assert(UrlKit.parse("/relative/only") == Left("relative URL without a base"))
