@@ -217,7 +217,8 @@ final class CrawlEngine(
     TableIO.commit(spark, ckptDir, 0,
       Map("frontier" -> frontier0, "seen_inc" -> seen0, "results_inc" -> excluded0),
       liveSeeds, countersToMap(counters0),
-      partitionBy = Map("frontier" -> Seq("host_shard")))
+      partitionBy = Map("frontier" -> Seq("host_shard")),
+      failures = failures)
 
     runLoop(liveSeeds, failures, robotsRules, crawlDelays, startRound = 1)
   }
@@ -241,7 +242,10 @@ final class CrawlEngine(
       robotsRules += seed -> parsed.map(_.effectiveRules).getOrElse(Vector.empty)
       crawlDelays += seed -> parsed.flatMap(_.crawlDelay)
     }
-    runLoop(seeds, Map.empty, robotsRules, crawlDelays, startRound = last + 1)
+    // failures persisted in the round-0 manifest: a seed whose robots fetch
+    // failed keeps raising CrawlFailedException after resume (the 500 path)
+    val failures = TableIO.readSnapshot(ckptDir, 0).failures
+    runLoop(seeds, failures, robotsRules, crawlDelays, startRound = last + 1)
   }
 
   private def countersToMap(c: RoundCounters): Map[String, Long] = Map(

@@ -24,7 +24,11 @@ object TableIO {
       parentRound: Int,
       seeds: Seq[String],
       counters: Map[String, Long],
-      tables: Map[String, String]
+      tables: Map[String, String],
+      /** seeds whose crawl failed (e.g. non-404 robots fetch) with the
+        * failure message — persisted so resume() reproduces the reference's
+        * 500 path (crawler.rs:356-361) instead of silently dropping them */
+      failures: Map[String, String] = Map.empty
   )
 
   private def manifestPath(dir: String, round: Int) =
@@ -40,7 +44,8 @@ object TableIO {
       tables: Map[String, DataFrame],
       seeds: Seq[String],
       counters: => Map[String, Long],
-      partitionBy: Map[String, Seq[String]] = Map.empty
+      partitionBy: Map[String, Seq[String]] = Map.empty,
+      failures: Map[String, String] = Map.empty
   ): Snapshot = {
     Files.createDirectories(Paths.get(dir))
     val paths = tables.map { case (name, df) =>
@@ -63,7 +68,7 @@ object TableIO {
       }
       name -> p
     }
-    val snap = Snapshot(round, round - 1, seeds, counters, paths)
+    val snap = Snapshot(round, round - 1, seeds, counters, paths, failures)
     val json = renderJson(snap)
     val tmp = Paths.get(dir, f".manifest-r$round%05d.json.tmp")
     Files.writeString(tmp, json)
@@ -106,7 +111,9 @@ object TableIO {
     val tables = s.tables.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ", ", "}")
     val seeds = s.seeds.map(q).mkString("[", ", ", "]")
-    s"""{"round": ${s.round}, "parentRound": ${s.parentRound}, "seeds": $seeds, "counters": $counters, "tables": $tables}"""
+    val failures = s.failures.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ", ", "}")
+    s"""{"round": ${s.round}, "parentRound": ${s.parentRound}, "seeds": $seeds, "counters": $counters, "tables": $tables, "failures": $failures}"""
   }
 
   // hand-rolled parser for exactly the shape renderJson emits
@@ -169,6 +176,10 @@ object TableIO {
     val seeds = parseArr(field("seeds"))
     val (counters, _) = parseObj(field("counters"), valueIsString = false)
     val (tables, _) = parseObj(field("tables"), valueIsString = true)
-    Snapshot(round, parent, seeds, counters.map { case (k, v) => k -> v.toLong }, tables)
+    // optional (absent in pre-failure-persistence manifests)
+    val failures =
+      if (s.contains(q("failures") + ":")) parseObj(field("failures"), valueIsString = true)._1
+      else Map.empty[String, String]
+    Snapshot(round, parent, seeds, counters.map { case (k, v) => k -> v.toLong }, tables, failures)
   }
 }

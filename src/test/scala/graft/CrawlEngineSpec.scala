@@ -316,6 +316,21 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(collectMap(resumed, seed) == expected)
   }
 
+  test("resume preserves failed seeds: CrawlFailedException survives the restart") {
+    val bad = s"${PagesGen.host("robots-failure")}/start"
+    val good = s"${PagesGen.host("cycle")}/start"
+    val dir = java.nio.file.Files.createTempDirectory("graft-resume-fail-").toString
+    val run = new CrawlEngine(spark, pages, CrawlConfig(), dir).crawlAll(Seq(bad, good))
+    assert(run.failures(bad) == "Got status 500 for robots.txt")
+    val expectedGood = collectMap(run, good)
+    // resume from the completed checkpoint: failures must be restored from
+    // the round-0 manifest, not silently dropped (crawler.rs:356-361 parity)
+    val resumed = new CrawlEngine(spark, pages, CrawlConfig(), dir).resume()
+    assert(resumed.failures(bad) == "Got status 500 for robots.txt")
+    intercept[CrawlEngine.CrawlFailedException] { resumed.resultFor(bad) }
+    assert(collectMap(resumed, good) == expectedGood)
+  }
+
   test("fragment seed: fetched via the stripped url, recorded under the original") {
     // reqwest never sends fragments on the wire; the reference's seen set
     // still keys the fragment form, so /start is later fetched again plain
