@@ -56,6 +56,12 @@ final case class CrawlConfig(
     bloomFpp: Double = 0.01,
     /** below this many seen urls the Bloom pre-filter isn't worth building */
     bloomMinSeen: Long = 10000L,
+    /** increment row count at which Bloom maintenance switches from a
+      * driver-side collect of key hashes to a per-partition BloomFilter
+      * build merged via treeAggregate (the 10^10-frontier scale path: the
+      * fixed per-task filter cost amortizes over millions of rows per task,
+      * and the driver never materializes the hash column) */
+    bloomDistributedMinRows: Long = 4L * 1000 * 1000,
     /** frontier row-count under which the fetch join broadcasts the frontier */
     broadcastFrontierMaxRows: Long = 2L * 1000 * 1000,
     /** host-hash shards for frontier partition lineage (north rule) */
@@ -296,19 +302,41 @@ final class CrawlEngine(
     var roundsLog = Vector.empty[RoundCounters]
 
     // Cumulative Bloom over (seed, url) keys, rebuilt from seen on entry.
-    // Increments are collected as COMPACT 64-bit hashes (xxhash64, computed
-    // in the plan, codegen'd) and inserted driver-side: a treeAggregate of
-    // BloomFilter partials would serialize a multi-MB zero value into every
-    // task binary and ship a multi-MB partial back per task -- measured to
-    // anti-scale with core count. (At 10^10-URL rounds the same hash column
-    // feeds a treeAggregate of per-partition blooms instead, where the fixed
-    // per-task cost is amortized over millions of rows per task.)
+    // Two maintenance paths, gated by cfg.bloomDistributedMinRows:
+    //  - small increments: COMPACT 64-bit hashes (xxhash64, computed in the
+    //    plan, codegen'd) collected and inserted driver-side -- below the
+    //    threshold the fixed per-task cost of shipping filter partials
+    //    dominates (measured to anti-scale with core count at sandbox sizes);
+    //  - large increments (the 10^10-frontier scale path): per-partition
+    //    BloomFilter build merged via treeAggregate over the same hash
+    //    column. The zero value is null (not an empty multi-MB filter), so
+    //    nothing heavy rides the task binaries; partials are created lazily
+    //    on the first row of each partition and merged in a 2-level tree,
+    //    so the driver receives O(sqrt(P)) partials, not P.
+    // Exactness never depends on this: the anti-join against `seen` stays.
     var bloom: BloomFilter = null
     def keyHashCol = xxhash64(concat_ws("\u0001", col("seed"), col("url")))
-    def bloomInsert(df: DataFrame): Unit = {
-      val hashes = df.select(keyHashCol.as("h")).as[Long].collect()
+    def bloomInsert(df: DataFrame, rowsHint: Long): Unit = {
       if (bloom == null) bloom = BloomFilter.create(cfg.bloomExpectedInsertions, cfg.bloomFpp)
-      hashes.foreach(bloom.putLong)
+      val hashes = df.select(keyHashCol.as("h")).as[Long]
+      if (rowsHint >= cfg.bloomDistributedMinRows) {
+        val expected = cfg.bloomExpectedInsertions
+        val fpp = cfg.bloomFpp
+        val merged = hashes.rdd.treeAggregate(null: BloomFilter)(
+          seqOp = (bf, h) => {
+            val b = if (bf == null) BloomFilter.create(expected, fpp) else bf
+            b.putLong(h)
+            b
+          },
+          combOp = (a, b) =>
+            if (a == null) b
+            else if (b == null) a
+            else { a.mergeInPlace(b); a },
+          depth = 2)
+        if (merged != null) bloom.mergeInPlace(merged)
+      } else {
+        hashes.collect().foreach(bloom.putLong)
+      }
     }
 
     var round = startRound
@@ -394,7 +422,7 @@ final class CrawlEngine(
         .persist(StorageLevel.MEMORY_AND_DISK)
       val cand = candCached.observe(obsCand, count(lit(1)).as("n"))
 
-      if (bloom == null && seenCount >= cfg.bloomMinSeen) bloomInsert(seen)
+      if (bloom == null && seenCount >= cfg.bloomMinSeen) bloomInsert(seen, seenCount)
       val newUrlsCached = {
         if (bloom != null) {
           val bloomBc = sc.broadcast(bloom)
@@ -469,7 +497,7 @@ final class CrawlEngine(
       val newSeen = spark.read.parquet(seenIncPaths(round): _*)
 
       // ---- bloom maintenance ----
-      if (bloom != null && newCount > 0) bloomInsert(newUrlsCached.toDF())
+      if (bloom != null && newCount > 0) bloomInsert(newUrlsCached.toDF(), newCount)
 
       // ---- rotate state ----
       stepOut.unpersist()

@@ -256,6 +256,18 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(run.status.map(_.fetched).sum == 6)
   }
 
+  test("distributed Bloom path (treeAggregate merge) produces identical results") {
+    val h = "http://127.0.0.1:8000"
+    // bloomDistributedMinRows = 0 forces every filter insert through the
+    // per-partition build + treeAggregate merge (the 10^10-frontier path)
+    val cfg = CrawlConfig(bloomMinSeen = 0, bloomExpectedInsertions = 1000,
+      bloomDistributedMinRows = 0)
+    val (run, m) = doCrawl(s"$h/start", cfg)
+    val (_, m2) = doCrawl(s"$h/start")
+    assert(m == m2)
+    assert(run.status.map(_.fetched).sum == 6) // exactly-once preserved
+  }
+
   test("politeness: per-host budget defers, result unchanged") {
     val h = PagesGen.host("multi-links")
     val cfg = CrawlConfig(perHostBudgetPerRound = 1)

@@ -50,4 +50,28 @@ class ScaleGraphSpec extends AnyFunSuite {
     results.unpersist()
     pages.unpersist()
   }
+
+  test("scale graph: distributed Bloom (treeAggregate) path keeps exactly-once fetch") {
+    val n = 3000L
+    val hosts = 3
+    val spec = PagesGen.ScaleSpec(n, hosts)
+    val pages = PagesGen.scale(spark, n, hosts, 4).cache()
+
+    // every bloom insert goes through the per-partition build + treeAggregate
+    val run = new CrawlEngine(spark, pages,
+      CrawlConfig(bloomMinSeen = 0, bloomDistributedMinRows = 0)).crawlAll(spec.seeds)
+    val results = run.results.cache()
+    val dups = results.groupBy("seed", "url").count().filter(col("count") > 1).count()
+    assert(dups == 0)
+    assert(run.rounds.last.todo == 0)
+
+    // identical final counters to the driver-collect path
+    val runCollect = new CrawlEngine(spark, pages,
+      CrawlConfig(bloomMinSeen = 0, bloomDistributedMinRows = Long.MaxValue)).crawlAll(spec.seeds)
+    assert(run.rounds.map(_.fetched).sum == runCollect.rounds.map(_.fetched).sum)
+    assert(run.rounds.map(_.deduped).sum == runCollect.rounds.map(_.deduped).sum)
+    assert(results.count() == runCollect.results.count())
+    results.unpersist()
+    pages.unpersist()
+  }
 }
