@@ -47,32 +47,48 @@ object HtmlKit {
 
   // ---- character references ------------------------------------------------
 
-  /** The named entities html5ever resolves that we support (common subset —
-    * with and without trailing semicolon where HTML5 allows the legacy form). */
-  private val named: Map[String, String] = Map(
-    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
-    "nbsp" -> " ", "copy" -> "©", "reg" -> "®", "trade" -> "™",
-    "hellip" -> "…", "mdash" -> "—", "ndash" -> "–",
-    "lsquo" -> "‘", "rsquo" -> "’", "ldquo" -> "“", "rdquo" -> "”",
-    "middot" -> "·", "deg" -> "°", "plusmn" -> "±", "times" -> "×",
-    "divide" -> "÷", "frac12" -> "½", "sup2" -> "²", "sup3" -> "³",
-    "micro" -> "µ", "para" -> "¶", "sect" -> "§", "bull" -> "•",
-    "dagger" -> "†", "Dagger" -> "‡", "permil" -> "‰",
-    "prime" -> "′", "Prime" -> "″", "laquo" -> "«", "raquo" -> "»",
-    "iexcl" -> "¡", "cent" -> "¢", "pound" -> "£", "curren" -> "¤",
-    "yen" -> "¥", "euro" -> "€", "szlig" -> "ß", "agrave" -> "à",
-    "aacute" -> "á", "eacute" -> "é", "egrave" -> "è",
-    "iacute" -> "í", "oacute" -> "ó", "uacute" -> "ú",
-    "ntilde" -> "ñ", "ouml" -> "ö", "auml" -> "ä", "uuml" -> "ü",
-    "shy" -> "­"
-  )
-  /** Entities that may appear without a trailing semicolon (legacy set). */
-  private val legacyNoSemi =
-    Set("amp", "lt", "gt", "quot", "nbsp", "copy", "reg", "shy", "middot",
-      "deg", "plusmn", "times", "divide", "micro", "para", "sect", "iexcl",
-      "cent", "pound", "curren", "yen", "szlig", "agrave", "aacute", "eacute",
-      "egrave", "iacute", "oacute", "uacute", "ntilde", "ouml", "auml", "uuml",
-      "laquo", "raquo")
+  /**
+   * The full HTML5 named-character-reference table (2,231 entries) that
+   * html5ever resolves -- loaded from the WHATWG entities list shipped as a
+   * resource (graft/entities.tsv: `name<TAB>value`, names carrying the
+   * trailing ';' for the semicolon forms exactly as the spec JSON does;
+   * control characters in values are backslash-uXXXX-escaped).
+   *
+   * `named` holds the semicolon forms keyed WITHOUT the ';'; `legacyNoSemi`
+   * holds the ~200 legacy entities HTML5 allows without a semicolon.
+   */
+  private val (named: Map[String, String], legacyNoSemi: Map[String, String]) = {
+    def unescape(v: String): String = {
+      if (!v.contains('\\')) v
+      else {
+        val sb = new StringBuilder(v.length)
+        var i = 0
+        while (i < v.length) {
+          val c = v.charAt(i)
+          if (c == '\\' && i + 1 < v.length && v.charAt(i + 1) == '\\') { sb.append('\\'); i += 2 }
+          else if (c == '\\' && i + 5 < v.length && v.charAt(i + 1) == 'u') {
+            sb.append(Integer.parseInt(v.substring(i + 2, i + 6), 16).toChar); i += 6
+          } else { sb.append(c); i += 1 }
+        }
+        sb.toString
+      }
+    }
+    val in = getClass.getResourceAsStream("/graft/entities.tsv")
+    require(in != null, "graft/entities.tsv resource missing")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    val withSemi = Map.newBuilder[String, String]
+    val noSemi = Map.newBuilder[String, String]
+    try src.getLines().foreach { line =>
+      val tab = line.indexOf('\t')
+      if (tab > 0) {
+        val name = line.substring(0, tab)
+        val value = unescape(line.substring(tab + 1))
+        if (name.endsWith(";")) withSemi += name.dropRight(1) -> value
+        else noSemi += name -> value
+      }
+    } finally src.close()
+    (withSemi.result(), noSemi.result())
+  }
 
   /** Try to consume a character reference starting *after* the '&' at `i`.
     * Returns (decoded, newIndex) or null for "not a charref, emit '&'".
@@ -112,7 +128,7 @@ object HtmlKit {
           val after = i + k
           if (inAttribute && after < s.length &&
             (s.charAt(after).isLetterOrDigit || s.charAt(after) == '=')) return null
-          return (named(cand), after)
+          return (legacyNoSemi(cand), after)
         }
         k -= 1
       }

@@ -135,6 +135,24 @@ class HtmlKitSpec extends AnyFunSuite {
     assert(internal("""<a href="/a&ampx">x</a>""") == Vector("https://example.com/a&ampx"))
   }
 
+  test("full HTML5 named-entity table (html5ever set, ~2200 names)") {
+    // names far outside the old common subset — from the WHATWG entities list
+    assert(HtmlKit.extractText("a &rarr; b") == "a → b")
+    assert(HtmlKit.extractText("&Uuml;ber") == "Über")
+    assert(HtmlKit.extractText("&NotEqualTilde;") == "≂̸") // multi-codepoint value
+    assert(HtmlKit.extractText("&CounterClockwiseContourIntegral;") == "∳")
+    assert(HtmlKit.extractText("x &there4; y") == "x ∴ y")
+    // semicolon-less legacy forms (the ~200-entry legacy set)
+    assert(HtmlKit.extractText("&Auml motor") == "Ä motor")
+    assert(HtmlKit.extractText("&notit;") == "¬it;") // longest legacy prefix 'not'
+    assert(HtmlKit.extractText("&notin;") == "∉")    // semicolon form wins over prefix
+    // non-legacy names require the semicolon
+    assert(HtmlKit.extractText("&rarr stays") == "&rarr stays")
+    // entity in an attribute href
+    assert(internal("""<a href="/x?a&leq;b">t</a>""") ==
+      Vector("https://example.com/x?a%E2%89%A4b"))
+  }
+
   test("comments, doctype, bogus comments skipped") {
     val html = """<!-- <a href="/hidden">no</a> --><!DOCTYPE html><?php echo ?><a href="/yes">y</a>"""
     assert(internal(html) == Vector("https://example.com/yes"))
