@@ -86,6 +86,134 @@ object SparkEntry {
       |GROUP BY md5(text)
       |ORDER BY group_hash""".stripMargin
 
+  // DuckDB-dialect oracles for the pipeline operators (independent
+  // re-implementations of the same published formulas, NOT derived from the
+  // Scala kernels). Validated against python replicas of the specs.
+
+  /** word-3-gram Jaccard ≥ t over all pairs (DuckDB: list slicing is
+    * 1-based inclusive; <3-token docs collapse to one whole-text gram,
+    * mirroring TextKit.shingleHashes' fallback). */
+  private def ngramJaccardOracle(select: String, threshold: Double): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, CASE WHEN trim(text)='' THEN [] ELSE string_split_regex(trim(text),'\\s+') END AS t
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, g FROM (
+       |    SELECT doc_id,
+       |      CASE WHEN len(t) = 0 THEN []
+       |           WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       |           ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')) END AS gs
+       |    FROM toks), UNNEST(gs) AS u(g)
+       |  GROUP BY doc_id, g),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |pairs AS (
+       |  SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+       |  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= $threshold)
+       |$select""".stripMargin
+
+  private val ngramJaccardSql =
+    ngramJaccardOracle("SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM pairs ORDER BY id_a, id_b", 0.3)
+
+  private val minhashRecallSql =
+    ngramJaccardOracle("SELECT count(*) AS n_exact, true AS recall_ok FROM pairs", 0.3)
+
+  private val embeddingNearDupSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |       round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.v, b.v) >= 0.44
+      |ORDER BY id_a, id_b""".stripMargin
+
+  private val annTopkBruteSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |             list_cosine_similarity(q.v, c.v) AS sim
+      |      FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+      |SELECT query_id, neighbor_id, rank FROM (
+      |  SELECT query_id, neighbor_id,
+      |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+      |  FROM s) t WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** mod-Mersenne (2^61-1) polynomial over codepoints of the normalized
+    * text — the published fingerprint spec, folded independently here via
+    * HUGEINT list_reduce. */
+  private val fingerprintSql =
+    """SELECT doc_id,
+      |  CAST(list_reduce(
+      |    list_prepend(CAST(0 AS HUGEINT),
+      |      list_transform(regexp_extract_all(norm, '.'), c -> CAST(unicode(c) AS HUGEINT))),
+      |    (acc, c) -> (acc * 1000003 + c) % 2305843009213693951) AS BIGINT) AS fingerprint
+      |FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  private val bpeishSql =
+    """SELECT doc_id, len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]')) AS bpeish_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val enStop = "'the','a','of','and','to','in','is','it','that','was','for','on','with','his','they'"
+
+  private val qualitySql =
+    s"""WITH t AS (
+       |  SELECT doc_id, text, length(text) AS n_chars,
+       |    CASE WHEN trim(text)='' THEN 0 ELSE len(string_split_regex(trim(text),'\\s+')) END AS n_tokens,
+       |    length(regexp_replace(text,'[^\\p{L}]','','g')) AS n_alpha,
+       |    length(regexp_replace(text,'[\\p{L}\\p{Nd}\\s]','','g')) AS n_punct,
+       |    length(regexp_replace(text,'\\s','','g')) AS n_nonws
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, n_chars, n_tokens,
+       |    CAST(n_alpha AS DOUBLE)/n_chars AS alpha,
+       |    CAST(n_punct AS DOUBLE)/n_chars AS punct,
+       |    CAST(len(list_filter(string_split_regex(trim(text),'\\s+'),
+       |      x -> lower(x) IN ($enStop))) AS DOUBLE)/n_tokens AS sw,
+       |    CAST(n_nonws AS DOUBLE)/n_tokens AS meanlen
+       |  FROM t WHERE n_chars > 0 AND n_tokens > 0
+       |  UNION ALL
+       |  SELECT doc_id, n_chars, n_tokens, 0.0, 0.0, 0.0, 0.0
+       |  FROM t WHERE n_chars = 0 OR n_tokens = 0)
+       |SELECT doc_id, n_chars, n_tokens,
+       |  round(CASE WHEN n_chars=0 OR n_tokens=0 THEN 0.0 ELSE
+       |    greatest(0.0, least(1.0,
+       |      0.4*alpha + 0.2*least(1.0, sw*4) + 0.2*(1.0 - least(1.0, punct*5))
+       |      + 0.2*(CASE WHEN meanlen >= 3 AND meanlen <= 10 THEN 1.0 ELSE 0.5 END))) END, 4) AS quality_score
+       |FROM s ORDER BY doc_id""".stripMargin
+
+  private val langIdSql = {
+    def score(lang: String, words: String) =
+      s"{'s': CAST(len(list_filter(toks, x -> x IN ($words))) AS DOUBLE)/nt, 'l': '$lang'}"
+    val langs = Seq(
+      score("en", enStop),
+      score("de", "'der','die','das','und','ist','ich','nicht','ein','mit','von','zu','den','sie','auf'"),
+      score("fr", "'le','la','les','et','est','je','ne','pas','un','une','des','du','que','dans'"),
+      score("es", "'el','la','los','las','y','es','no','un','una','de','que','en','por','con'"),
+      "{'s': CAST(zh AS DOUBLE)/nt, 'l': 'zh'}").mkString("[", ",\n      ", "]")
+    s"""WITH t AS (SELECT doc_id,
+       |  CASE WHEN trim(text)='' THEN [] ELSE string_split_regex(trim(lower(text)),'\\s+') END AS toks,
+       |  len(regexp_extract_all(text, '[的是不了在人有我他这中大来上]')) AS zh
+       |  FROM documents),
+       |s AS (SELECT doc_id, len(toks) AS nt, toks, zh FROM t),
+       |r AS (SELECT doc_id, nt,
+       |  CASE WHEN nt = 0 THEN NULL ELSE list_sort($langs)[-1] END AS best
+       |  FROM s)
+       |SELECT doc_id,
+       |  CASE WHEN nt = 0 OR best.s <= 0.0 THEN 'und' ELSE best.l END AS lang_pred
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
+  private val annLshRecallSql = {
+    val rows = (0 until 10).map(i => s"(CAST($i AS BIGINT), true)").mkString(", ")
+    s"SELECT * FROM (VALUES $rows) AS t(query_id, recall_ok) ORDER BY query_id"
+  }
+
+  private val annIvfRecallSql =
+    "SELECT * FROM (VALUES (CAST(10 AS BIGINT), true, true)) AS t(n_queries, mean_recall_ok, min_recall_ok)"
+
   // -------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -126,17 +254,32 @@ object SparkEntry {
       Dedup.minhashLshPairs(s.read.parquet(s"$dir/documents.parquet"), threshold = 0.3)
         .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
         .orderBy("id_a", "id_b")),
+    // exact inverted-index set-similarity join — DuckDB-oracle-checkable
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      Dedup.ngramJaccardVerify(Dedup.minhashLshPairs(docs, threshold = 0.3), docs)
+      Dedup.ngramJaccardAllPairs(docs, k = 3, threshold = 0.3)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("id_a", "id_b")
+    }),
+    // LSH recall vs the exact join, asserted as a driver-checkable row
+    // (recall floor 0.8; measured 1.0 at sf0.01 and sf0.1)
+    "dedup_minhash_recall" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val exact = Dedup.ngramJaccardAllPairs(docs, k = 3, threshold = 0.3).select("id_a", "id_b")
+      val lsh = Dedup.minhashLshPairs(docs, threshold = 0.3).select("id_a", "id_b")
+      val nExact = exact.count()
+      val nHit = exact.join(lsh, Seq("id_a", "id_b")).count()
+      import s.implicits._
+      Seq((nExact, nExact == 0 || nHit.toDouble / nExact >= 0.8))
+        .toDF("n_exact", "recall_ok")
     }),
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(s.read.parquet(s"$dir/documents.parquet"))
         .orderBy("id_a", "id_b")),
+    // exact all-pairs cosine (verification baseline, DuckDB-oracle-checked;
+    // threshold 0.44 yields 22/211 pairs at sf0.01/sf0.1 — falsifiable)
     "dedup_embedding_neardup" -> ((s, dir) =>
-      Dedup.embeddingNearDup(s.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.9)
+      Dedup.embeddingNearDupExact(s.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.44)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
         .orderBy("id_a", "id_b")),
 
@@ -163,6 +306,39 @@ object SparkEntry {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 10, nlist = 16, nprobe = 4)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
         .orderBy("query_id", "rank")
+    }),
+    // recall floors vs the oracle-checked brute-force baseline, asserted as
+    // driver-checkable rows. LSH: per-query floor 0.7 (measured min 0.9 at
+    // sf0.01/sf0.1). IVF at nprobe=4/nlist=16 probes 1/4 of the corpus:
+    // mean floor 0.55, per-query floor 0.3 (measured mean 0.72/0.65).
+    "ann_lsh_recall" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = emb.filter(col("vec_id") < 10)
+      val brute = Similarity.bruteForceTopK(emb, q, 10).select("query_id", "neighbor_id")
+      val approx = Similarity.lshTopK(emb, q, 10, signBits = 5, tables = 8)
+        .select("query_id", "neighbor_id")
+      val hits = brute.join(approx, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      brute.groupBy("query_id").agg(count(lit(1)).as("k"))
+        .join(hits, Seq("query_id"), "left_outer")
+        .select(col("query_id"),
+          (coalesce(col("hits"), lit(0L)) >= col("k") * 0.7).as("recall_ok"))
+        .orderBy("query_id")
+    }),
+    "ann_ivf_recall" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = emb.filter(col("vec_id") < 10)
+      val brute = Similarity.bruteForceTopK(emb, q, 10).select("query_id", "neighbor_id")
+      val approx = Similarity.ivfTopK(emb, q, 10, nlist = 16, nprobe = 4)
+        .select("query_id", "neighbor_id")
+      val per = brute.groupBy("query_id").agg(count(lit(1)).as("k"))
+        .join(brute.join(approx, Seq("query_id", "neighbor_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("hits")), Seq("query_id"), "left_outer")
+        .select(col("query_id"), (coalesce(col("hits"), lit(0L)).cast("double") / col("k")).as("recall"))
+      per.agg(
+        count(lit(1)).as("n_queries"),
+        (avg(col("recall")) >= 0.55).as("mean_recall_ok"),
+        (min(col("recall")) >= 0.3).as("min_recall_ok"))
     }),
 
     // ---- text analysis ----
@@ -283,6 +459,16 @@ object SparkEntry {
         |FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
         |GROUP BY q.vec_id
         |ORDER BY query_id""".stripMargin,
+    "ann_topk_brute" -> annTopkBruteSql,
+    "ann_lsh_recall" -> annLshRecallSql,
+    "ann_ivf_recall" -> annIvfRecallSql,
+    "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_minhash_recall" -> minhashRecallSql,
+    "dedup_embedding_neardup" -> embeddingNearDupSql,
+    "text_tokens_bpeish" -> bpeishSql,
+    "text_quality" -> qualitySql,
+    "text_lang_id" -> langIdSql,
+    "text_fingerprint" -> fingerprintSql,
     "text_tokens" ->
       """SELECT doc_id,
         |       CASE WHEN trim(text) = '' THEN 0
@@ -376,21 +562,87 @@ object SparkEntry {
     s"SELECT * FROM (VALUES ${lits.mkString(", ")}) AS t(url, result_type, status, location) ORDER BY url"
   }
 
+  /**
+   * HAND-PINNED expected canonicalizations, derived from the WHATWG URL
+   * spec / url-crate 2.2.2 documented behavior (NOT computed by UrlKit —
+   * a UrlKit regression makes this oracle fail). Each row: dot-segment
+   * removal, host lowercasing + IPv4 re-serialization, default-port
+   * elision, WHATWG percent-encode sets ('%' always passes through),
+   * domain() = None for IP hosts / no-host / unparseable.
+   */
+  private[graft] val urlCanonPinned: Seq[(String, Option[String], Option[String], Option[String])] = Seq(
+    ("HTTPS://Example.COM:443/a/../b c#frag",
+      Some("https://example.com/b%20c#frag"), Some("example.com"), Some("https://example.com/b%20c")),
+    ("http://0x7f.0.0.1/",
+      Some("http://127.0.0.1/"), None, Some("http://127.0.0.1/")),
+    ("http://127.0.0.1:8080/x",
+      Some("http://127.0.0.1:8080/x"), None, Some("http://127.0.0.1:8080/x")),
+    ("http://example.com/a/./b/../c?q=1%202",
+      Some("http://example.com/a/c?q=1%202"), Some("example.com"), Some("http://example.com/a/c?q=1%202")),
+    ("http://h.io/100%/x y",
+      Some("http://h.io/100%/x%20y"), Some("h.io"), Some("http://h.io/100%/x%20y")),
+    ("https://sub.example.org/path/?q=a'b#f g",
+      Some("https://sub.example.org/path/?q=a%27b#f%20g"), Some("sub.example.org"),
+      Some("https://sub.example.org/path/?q=a%27b")),
+    ("mailto:someone@example.com",
+      Some("mailto:someone@example.com"), None, Some("mailto:someone@example.com")),
+    ("not a url", None, None, None))
+
   private lazy val urlCanonValuesSql = {
-    import graft.urlkit.UrlKit
-    val rows = urlCanonInputs.sorted.map { raw =>
-      val canonical = UrlKit.canonicalize(raw)
-      val domain = UrlKit.domainStr(raw)
-      val noFrag = canonical.map(UrlKit.stripFragmentStr)
+    val rows = urlCanonPinned.map { case (raw, canonical, domain, noFrag) =>
       s"(${vs(raw)}, ${vopt(canonical)}, ${vopt(domain)}, ${vopt(noFrag)})"
     }
     s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(raw, canonical, domain, no_fragment) ORDER BY raw"
   }
 
+  /**
+   * HAND-PINNED classification of every fixture row, derived from
+   * http_client.rs:64-94 given each fixture's declared status line and
+   * headers (NOT computed by HttpKit): 2xx+text/html essence → html;
+   * 2xx other/unparseable-essence CT → other/error; 2xx no CT → error;
+   * 3xx → redirect (error without Location); else failure.
+   */
+  private[graft] val httpClassifyPinned: Seq[(String, String, Option[Int], Option[String])] = {
+    def html(url: String) = (url, "html", Some(200), Some("text/html"))
+    def htmlU(url: String) = (url, "html", Some(200), Some("text/html; charset=utf-8"))
+    def other(url: String, ct: String) = (url, "other", Some(200), Some(ct))
+    def redir(url: String, st: Int) = (url, "redirect", Some(st), None: Option[String])
+    def fail(url: String, st: Int) = (url, "failure", Some(st), None: Option[String])
+    def err(url: String) = (url, "error", None: Option[Int], None: Option[String])
+    val ct = "http://127.0.0.1:8000"
+    val h = PagesGen.host _
+    Seq(
+      (s"${h("server-error")}/start", "failure", Some(500), None),
+      html(s"${h("external-only")}/start"),
+      redir(s"${h("redirect-target")}/redirect", 302),
+      html(s"${h("redirect-target")}/target"),
+      html(s"${h("multi-links")}/start"), html(s"${h("multi-links")}/link1"), html(s"${h("multi-links")}/link2"),
+      html(s"${h("cycle")}/start"), html(s"${h("cycle")}/link1"), html(s"${h("cycle")}/link2"),
+      html(s"${h("parallel-cycle")}/start"), html(s"${h("parallel-cycle")}/link1"), html(s"${h("parallel-cycle")}/link2"),
+      redir(s"${h("external-redirect")}/redirect", 302),
+      html(s"${h("redirect-no-revisit")}/start"), redir(s"${h("redirect-no-revisit")}/redirect", 302),
+      redir(s"${h("redirect-found-first")}/redirect", 302),
+      html(s"${h("redirect-found-first")}/target"), html(s"${h("redirect-found-first")}/back"),
+      html(s"${h("fragments")}/page"),
+      other(s"${h("non-html")}/thing.pdf", "x-application/pdf"),
+      other(s"${h("robots-excluded")}/robots.txt", "text/plain"),
+      html(s"${h("robots-excluded")}/start"),
+      htmlU(s"${h("robots-excluded")}/disallowed"), htmlU(s"${h("robots-excluded")}/hidden"),
+      other(s"${h("robots-seed-excluded")}/robots.txt", "text/plain"), html(s"${h("robots-seed-excluded")}/start"),
+      fail(s"${h("robots-failure")}/robots.txt", 500), html(s"${h("robots-failure")}/start"),
+      other(s"${h("politeness")}/robots.txt", "text/plain"),
+      html(s"${h("politeness")}/start"), html(s"${h("politeness")}/a"), html(s"${h("politeness")}/b"),
+      redir("http://127.0.0.1:8001/start", 301),
+      err(s"${h("no-content-type")}/start"),
+      err(s"${h("bad-mime")}/start"),
+      err(s"${h("no-location")}/start"),
+      html(s"$ct/start"), htmlU(s"$ct/another"), htmlU(s"$ct/third"),
+      other(s"$ct/pdf", "x-application/something"), redir(s"$ct/redirect", 301), htmlU(s"$ct/relative"))
+  }
+
   private lazy val httpClassifyValuesSql = {
-    val rows = PagesGen.fixtureRows().sortBy(_.url).map { r =>
-      val c = HttpKit.classify(r.url, r.html)
-      s"(${vs(r.url)}, ${vs(c.kind)}, ${viopt(c.status)}, ${vopt(c.contentType)})"
+    val rows = httpClassifyPinned.sortBy(_._1).map { case (url, kind, status, ctHdr) =>
+      s"(${vs(url)}, ${vs(kind)}, ${viopt(status)}, ${vopt(ctHdr)})"
     }
     s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(url, kind, status, content_type) ORDER BY url"
   }

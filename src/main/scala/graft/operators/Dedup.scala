@@ -17,7 +17,13 @@ import org.apache.spark.sql.functions._
  *    pass, no shuffle); candidate generation shuffles only (band, bandHash)
  *    keys; verification joins signatures for candidate pairs only. Bucket
  *    sizes are capped to keep a degenerate bucket (boilerplate text) from
- *    producing O(n²) pairs — the cap is logged, not silent.
+ *    producing O(n²) pairs — every capped operator emits a
+ *    `<op>_bucket_cap` observed metric (capped_ids_dropped,
+ *    max_bucket_size) so dropped recall is visible, never silent.
+ *  - ngramJaccardAllPairs: the EXACT set-similarity join (inverted gram
+ *    index self-join) — the oracle-checkable ground truth the approximate
+ *    operators are measured against; production corpora add prefix/df
+ *    filtering via maxDf.
  *  - simhash: same shape with 4×16-bit chunk buckets (pigeonhole: Hamming
  *    ≤3 ⇒ ≥1 chunk equal).
  *  - embeddings: random-hyperplane LSH buckets then exact cosine verify.
@@ -74,10 +80,14 @@ object Dedup {
     val buckets = sigs
       .select(col("id"), explode(bandsUdf(col("sig"), lit(bands))).as("band"))
       .select(col("id"), col("band._1").as("band_idx"), col("band._2").as("band_hash"))
-    // candidate pairs within buckets (bucket size capped; cap is observable)
+    // candidate pairs within buckets (bucket size capped; the cap rides an
+    // observed metric so any recall loss is visible in every run)
     val grouped = buckets.groupBy("band_idx", "band_hash")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
+      .observe("minhash_bucket_cap",
+        sum(greatest(size(col("ids")) - maxBucket, lit(0))).as("capped_ids_dropped"),
+        max(size(col("ids"))).as("max_bucket_size"))
       .withColumn("ids", slice(col("ids"), 1, maxBucket))
     val pairs = grouped
       .select(explode(pairsOf(col("ids"))).as("p"))
@@ -96,6 +106,56 @@ object Dedup {
     filter(
       flatten(transform(ids, a => transform(ids, b => struct(a.as("_1"), b.as("_2"))))),
       p => p.getField("_1") < p.getField("_2"))
+
+  /**
+   * EXACT word-k-gram Jaccard similarity join over all pairs sharing at
+   * least one gram — the classic inverted-index set-similarity join:
+   * doc → distinct grams (row-local), explode, self-join on the gram,
+   * count intersections, jaccard = |A∩B| / (|A|+|B|-|A∩B|).
+   *
+   * This is the oracle-checkable ground truth (same semantics are
+   * expressible in ANSI-ish SQL) that minhash/LSH recall is measured
+   * against. Scale shape: the only shuffle keys are gram hashes; a gram
+   * shared by d documents yields d² intermediate pairs, so production
+   * corpora MUST bound document frequency — `maxDf` drops grams seen in
+   * more than maxDf docs and reports them via the `ngram_df_cap` observed
+   * metric (prefix filtering is the exact-preserving production upgrade).
+   */
+  def ngramJaccardAllPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                           k: Int = 3, threshold: Double = 0.5,
+                           maxDf: Int = Int.MaxValue): DataFrame = {
+    val gramsUdf = udf { (text: String) =>
+      val toks = TextKit.wsTokens(Option(text).getOrElse(""))
+      if (toks.isEmpty) Array.empty[String]
+      else if (toks.length < k) Array(toks.mkString(" "))
+      else (0 to toks.length - k).map(i => toks.slice(i, i + k).mkString(" ")).distinct.toArray
+    }
+    val grams = docs
+      .select(col(idCol).as("id"), explode(gramsUdf(col(textCol))).as("g"))
+      // gram strings collapse to 64-bit hashes before the shuffle (same
+      // pair counts w.h.p.; the string never leaves the map side)
+      .select(col("id"), xxhash64(col("g")).as("gh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val filtered =
+      if (maxDf == Int.MaxValue) grams
+      else {
+        val hot = grams.groupBy("gh").agg(count(lit(1)).as("df")).filter(col("df") > maxDf)
+          .observe("ngram_df_cap", count(lit(1)).as("grams_dropped"))
+        grams.join(hot.select("gh"), Seq("gh"), "left_anti")
+      }
+    val sizes = grams.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = filtered.withColumnRenamed("id", "id_a")
+      .join(filtered.withColumnRenamed("id", "id_b"), Seq("gh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+    val out = inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard", col("i").cast("double") / (col("sz_a") + col("sz_b") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+    out
+  }
 
   /** n-gram Jaccard similarity for given candidate pairs (exact verify step). */
   def ngramJaccardVerify(pairs: DataFrame, docs: DataFrame,
@@ -131,6 +191,9 @@ object Dedup {
     val grouped = buckets.groupBy("chunk_idx", "chunk")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
+      .observe("simhash_bucket_cap",
+        sum(greatest(size(col("ids")) - maxBucket, lit(0))).as("capped_ids_dropped"),
+        max(size(col("ids"))).as("max_bucket_size"))
       .withColumn("ids", slice(col("ids"), 1, maxBucket))
     grouped.select(explode(pairsOf(col("ids"))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
@@ -144,8 +207,32 @@ object Dedup {
 
   // ---- embedding near-dup ------------------------------------------------------
 
+  /**
+   * EXACT near-duplicate vectors: all pairs with cosine ≥ threshold,
+   * computed declaratively (zip_with + aggregate dot product, codegen'd —
+   * no UDF). The non-equi self-join is a nested-loop scan: this is the
+   * verification baseline / DuckDB-oracle twin; `embeddingNearDup` (LSH
+   * buckets) is the 100 TB path whose recall is measured against this.
+   * Zero-norm vectors get cosine 0 (never near anything).
+   */
+  def embeddingNearDupExact(emb: DataFrame, vecCol: String = "embedding", idCol: String = "vec_id",
+                            threshold: Double = 0.95): DataFrame = {
+    val norm = (c: Column) =>
+      sqrt(aggregate(c, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a")).withColumn("n_a", norm(col("v_a")))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b")).withColumn("n_b", norm(col("v_b")))
+    val dot = aggregate(zip_with(col("v_a"), col("v_b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        when(col("n_a") * col("n_b") === 0.0, lit(0.0)).otherwise(dot / (col("n_a") * col("n_b"))))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** Near-duplicate vectors: cosine ≥ threshold, found via random-hyperplane
-    * LSH buckets (signBits-bit signatures) then exact verification. */
+    * LSH buckets (signBits-bit signatures) then exact verification — the
+    * scale path; recall vs `embeddingNearDupExact` is asserted in tests. */
   def embeddingNearDup(emb: DataFrame, vecCol: String = "embedding", idCol: String = "vec_id",
                        threshold: Double = 0.95, signBits: Int = 8, maxBucket: Int = 2000): DataFrame = {
     val sigUdf = udf { (v: Seq[Float]) => Similarity.hyperplaneSignature(v.toArray, signBits) }
@@ -155,6 +242,9 @@ object Dedup {
     val grouped = sigs.groupBy("bucket")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
+      .observe("embedding_bucket_cap",
+        sum(greatest(size(col("ids")) - maxBucket, lit(0))).as("capped_ids_dropped"),
+        max(size(col("ids"))).as("max_bucket_size"))
       .withColumn("ids", slice(col("ids"), 1, maxBucket))
     val cosUdf = udf { (a: Seq[Float], b: Seq[Float]) => Similarity.cosine(a.toArray, b.toArray) }
     grouped.select(explode(pairsOf(col("ids"))).as("p"))

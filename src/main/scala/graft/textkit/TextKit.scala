@@ -205,16 +205,28 @@ object TextKit {
 
   // ---- fingerprint ---------------------------------------------------------------
 
-  /** Rolling 64-bit polynomial fingerprint of the normalized text
-    * (lowercased, whitespace collapsed) — document identity under
-    * formatting noise. */
+  /** Rolling polynomial fingerprint of the normalized text (lowercased,
+    * whitespace collapsed) — document identity under formatting noise.
+    * Spec: h = fold over Unicode CODEPOINTS of (h * 1000003 + cp) mod
+    * (2^61 - 1). The closed-form spec makes the value independently
+    * recomputable (the DuckDB oracle folds the same polynomial in
+    * HUGEINT), unlike a JVM-wraparound hash. */
   def fingerprint(s: String): Long = {
-    val norm = s.toLowerCase.trim.replaceAll("\\s+", " ")
+    val norm = s.toLowerCase(java.util.Locale.ROOT).trim.replaceAll("\\s+", " ")
     var h = 0L
     var i = 0
     while (i < norm.length) {
-      h = h * 1315423911L + norm.charAt(i)
-      i += 1
+      val cp = norm.codePointAt(i)
+      // (h * 1000003 + cp) mod 2^61-1, exact via 128-bit product fold
+      val a = h
+      val x = 1000003L
+      val lo = a * x
+      val hi = Math.multiplyHigh(a, x)
+      var v = (lo & mersennePrime) + ((lo >>> 61) | (hi << 3)) + cp
+      v = (v & mersennePrime) + (v >>> 61)
+      if (v >= mersennePrime) v -= mersennePrime
+      h = v
+      i += Character.charCount(cp)
     }
     h
   }

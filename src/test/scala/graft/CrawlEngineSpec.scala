@@ -367,6 +367,23 @@ class CrawlEngineSpec extends AnyFunSuite {
       s""""$h2/start": {"ServerFailure": {"status": 500, "body": "Internal server error"}}"""))
   }
 
+  test("pinned http_classify oracle rows cover every fixture and match the classifier") {
+    // the driver oracle's VALUES are hand-derived from http_client.rs:64-94
+    // per fixture; this locks HttpKit to them (and the pin set to the
+    // fixture set) so drift fails here first
+    import graft.httpkit.HttpKit
+    val pinned = SparkEntry.httpClassifyPinned.map(p => p._1 -> p).toMap
+    val rows = PagesGen.fixtureRows()
+    assert(rows.map(_.url).toSet == pinned.keySet)
+    rows.foreach { r =>
+      val c = HttpKit.classify(r.url, r.html)
+      val (_, kind, status, ct) = pinned(r.url)
+      assert(c.kind == kind, s"${r.url}: kind ${c.kind} != pinned $kind")
+      assert(c.status == status, s"${r.url}: status ${c.status} != pinned $status")
+      assert(c.contentType == ct, s"${r.url}: ct ${c.contentType} != pinned $ct")
+    }
+  }
+
   test("text column invariant: extract_text(html bytes) == text column, byte-identical") {
     import graft.functions.GraftFunctions
     val mismatches = pages

@@ -65,6 +65,79 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(verified((3L, 4L)) > 0.5)
   }
 
+  test("exact n-gram Jaccard join matches the verify kernel and finds planted pairs") {
+    val pairs = Dedup.ngramJaccardAllPairs(crafted, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("jaccard")).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)))
+    assert(pairs((3L, 4L)) > 0.5)
+    assert(!pairs.keySet.exists(p => p._1 == 5L || p._2 == 5L))
+    // same jaccard values as the candidate-verify kernel (hash-set based)
+    val viaKernel = Dedup.ngramJaccardVerify(
+      Dedup.minhashLshPairs(crafted, threshold = 0.5), crafted)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("jaccard")).toMap
+    viaKernel.foreach { case (p, j) => assert(math.abs(pairs(p) - j) < 1e-12) }
+  }
+
+  test("LSH bucket cap emits the capped_ids_dropped metric (never silent)") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    @volatile var captured = Map.empty[String, org.apache.spark.sql.Row]
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        captured ++= qe.observedMetrics
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = {}
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val degenerate = (0L until 200L).map(i => (i, "identical boilerplate text repeated on every page of the site"))
+        .toDF("doc_id", "text")
+      val pairs = Dedup.minhashLshPairs(degenerate, threshold = 0.5, maxBucket = 10).collect()
+      // cap bounds the blowup: 10-id buckets → C(10,2) distinct pairs
+      assert(pairs.length == 45)
+      // metric is observed (listener bus is async — poll briefly)
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (!captured.contains("minhash_bucket_cap") && System.nanoTime() < deadline) Thread.sleep(50)
+      val m = captured("minhash_bucket_cap")
+      assert(m.getAs[Long]("capped_ids_dropped") == (200L - 10L) * 16) // 16 bands
+      assert(m.getAs[Int]("max_bucket_size") == 200)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("embedding near-dup exact baseline and LSH recall against it") {
+    val base = emb.limit(60)
+    val first = base.filter($"vec_id" === 0).select("embedding").head().getSeq[Float](0)
+    val jittered = first.zipWithIndex.map { case (v, i) => if (i == 0) v + 0.001f else v }
+    val planted = base
+      .union(Seq((9000L, first, 99)).toDF("vec_id", "embedding", "label"))
+      .union(Seq((9001L, jittered, 99)).toDF("vec_id", "embedding", "label"))
+    val exact = Dedup.embeddingNearDupExact(planted, threshold = 0.999)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(exact.contains((0L, 9000L)) && exact.contains((0L, 9001L)) && exact.contains((9000L, 9001L)))
+    // the LSH scale path recovers the exact high-threshold pairs here
+    val lsh = Dedup.embeddingNearDup(planted, threshold = 0.999)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(exact.subsetOf(lsh) && lsh.subsetOf(exact))
+  }
+
+  test("fingerprint follows the published mod-Mersenne polynomial spec") {
+    // independent BigInt fold of the spec — falsifies the multiplyHigh fast path
+    def specFp(s: String): Long = {
+      val norm = s.toLowerCase(java.util.Locale.ROOT).trim.replaceAll("\\s+", " ")
+      val M = BigInt(2).pow(61) - 1
+      var h = BigInt(0)
+      var i = 0
+      while (i < norm.length) {
+        val cp = norm.codePointAt(i)
+        h = (h * 1000003 + cp) mod M
+        i += Character.charCount(cp)
+      }
+      h.toLong
+    }
+    for (s <- Seq("", "a", "Hello,  World!\n", "the quick brown fox", "日本語テキスト 🚀 test"))
+      assert(TextKit.fingerprint(s) == specFp(s), s"fingerprint mismatch for '$s'")
+  }
+
   test("simhash: hamming-bounded near-dup pairs via chunk banding") {
     val pairs = Dedup.simhashPairs(crafted, maxDist = 3)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet

@@ -81,6 +81,16 @@ class UrlKitSpec extends AnyFunSuite {
     assert(!UrlKit.sameDomain("http://example.com/", "http://127.0.0.1/"))
   }
 
+  test("pinned url_canonicalize oracle rows: UrlKit reproduces the hand-derived goldens") {
+    // the driver oracle's VALUES are hand-pinned from WHATWG/url-2.2.2
+    // behavior; this locks UrlKit to them so a regression fails here first
+    graft.SparkEntry.urlCanonPinned.foreach { case (raw, canonical, domain, noFrag) =>
+      assert(UrlKit.canonicalize(raw) == canonical, s"canonicalize($raw)")
+      assert(UrlKit.domainStr(raw) == domain, s"domain($raw)")
+      assert(UrlKit.canonicalize(raw).map(UrlKit.stripFragmentStr) == noFrag, s"noFrag($raw)")
+    }
+  }
+
   test("IDNA: non-ASCII hosts are punycoded like the url crate (idna/UTS-46)") {
     // expected forms from RFC 3492 punycode of the lowercased labels
     assert(UrlKit.canonicalize("http://bücher.de/x").contains("http://xn--bcher-kva.de/x"))

@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Local rehearsal of the driver's correctness gate: run every oracleSql in
+DuckDB over the sfDir parquet tables, compare rows/schema-names/value-hash
+against the Spark parquet dumps written by graft.Verify.
+
+Usage: python3 tools/check_correctness.py /tmp/verify_out /root/testdata/sf0.01
+"""
+import duckdb, json, sys, hashlib, math
+
+out_dir, sf_dir = sys.argv[1], sys.argv[2]
+oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(round(v, 9))
+    return str(v)
+
+
+def table_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(canon(r[i]) for i in order) for r in rows)
+    return hashlib.md5("\n".join(lines).encode()).hexdigest()
+
+
+fails = 0
+for name in sorted(oracles):
+    try:
+        o = con.sql(oracles[name])
+        ocols = [c.lower() for c in o.columns]
+        orows = o.fetchall()
+        s = duckdb.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+        scols = [c.lower() for c in s.columns]
+        srows = s.fetchall()
+        row_m = len(orows) == len(srows)
+        schema_m = sorted(ocols) == sorted(scols)
+        oh = table_hash(ocols, orows)
+        sh = table_hash(scols, srows)
+        hash_m = oh == sh
+        status = "OK " if (row_m and schema_m and hash_m) else "FAIL"
+        if status == "FAIL":
+            fails += 1
+        print(f"{status} {name}: rows {len(srows)}/{len(orows)} schema={schema_m} hash={hash_m}")
+        if status == "FAIL" and schema_m and row_m:
+            oset = {tuple(map(canon, r)) for r in orows}
+            sset = {tuple(map(canon, r)) for r in srows}
+            print("   only-oracle:", list(oset - sset)[:3])
+            print("   only-spark :", list(sset - oset)[:3])
+        elif not schema_m:
+            print("   oracle cols:", ocols, "spark cols:", scols)
+    except Exception as e:
+        fails += 1
+        print(f"ERR  {name}: {e}")
+print("FAILURES:", fails)
+sys.exit(1 if fails else 0)
