@@ -46,4 +46,39 @@ class CrawlApiSpec extends AnyFunSuite {
     val st = api.status
     assert(st(s"$h/start") == ((3L, 0L)))
   }
+
+  test("mid-crawl /status observation: concurrent reads see monotonic progress (crawler.rs:896-951)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // a 30-page chain → 30 rounds, so several commits land while we poll
+    val h = "https://status-chain.example.com"
+    val n = 30
+    import spark.implicits._
+    val rows = (0 until n).map { i =>
+      val links = if (i + 1 < n) Seq(s"$h/p${i + 1}") else Seq.empty
+      PagesGen.mkRow(s"$h/p$i", PagesGen.okHtml(PagesGen.htmlWithLinks(links)), i.toLong)
+    }
+    val chainApi = new CrawlApi(spark, spark.createDataset(rows).toDF())
+    val seed = s"$h/p0"
+    val crawl = Future(chainApi.count(seed))
+    // poll /status from this thread while the crawl runs on the other one —
+    // the reference choreographs the same interleaving with barriers; here
+    // every read is a committed-manifest read, safe at any time
+    var observed = Vector.empty[(Long, Long)]
+    while (!crawl.isCompleted) {
+      chainApi.status.get(seed).foreach { dt =>
+        if (!observed.lastOption.contains(dt)) observed :+= dt
+      }
+      Thread.sleep(20)
+    }
+    assert(Await.result(crawl, 1.minute) == n.toLong)
+    // saw genuinely-mid-crawl states (not just the final one), monotone done
+    assert(observed.size >= 3, s"only observed $observed")
+    assert(observed.exists(_._1 < n), "never saw an in-progress state")
+    assert(observed.map(_._1).zip(observed.map(_._1).tail).forall { case (a, b) => a <= b },
+      s"done not monotonic: $observed")
+    // and the final observation matches the finished crawl
+    assert(chainApi.status(seed) == ((n.toLong, 0L)))
+  }
 }
