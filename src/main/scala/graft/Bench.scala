@@ -82,17 +82,36 @@ object Bench {
     })
   }
 
+  /** Print every *_cap observed metric (LSH bucket caps, ngram df cap) to
+    * stderr — dropped recall must be visible in the bench log, never silent. */
+  def attachCapMetricLogger(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    spark.listenerManager.register(new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.endsWith("_cap")) System.err.println(s"[bench] observed $name: $row")
+        }
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = {}
+    })
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val crawlN = sys.env.getOrElse("SPARK_GRAFT_CRAWL_N", "400000").toLong
+    // the crawl phase runs at the measured-optimal core count for this VM
+    // (BENCH_SCALING.json: local[8] peak; 32 threads collapse on this
+    // hardware) so round-over-round numbers track the ENGINE, not VM noise
+    val crawlCpus = sys.env.getOrElse("SPARK_GRAFT_CRAWL_CPUS", "8").toInt
+    val crawlN = sys.env.getOrElse("SPARK_GRAFT_CRAWL_N", "2000000").toLong
     val hosts = 8
     val spark = buildSession(cpus, "graft-bench")
+    attachCapMetricLogger(spark)
 
     val headline = Seq(
       "q1_agg", "q_join_agg", "q_window_topk", "q_events_hourly",
-      "dedup_exact", "dedup_minhash_pairs", "dedup_simhash_pairs",
-      "ann_topk_brute", "ann_topk_lsh",
+      "dedup_exact", "dedup_minhash_pairs", "dedup_ngram_jaccard", "dedup_simhash_pairs",
+      "ann_topk_brute", "ann_topk_lsh", "ann_topk_ivf",
       "text_quality", "text_lang_id", "text_fingerprint", "multimodal_meta")
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
@@ -103,18 +122,25 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
       results(name) = (System.nanoTime() - t0) / 1e9
     }
+    spark.stop()
+    // local-mode SparkContext is a JVM singleton: the crawl session needs
+    // its own master, so the query session is fully stopped first
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
 
     // frontier throughput (generation excluded from the timed section)
-    val pagesDir = generatePages(spark, crawlN, hosts, cpus * 2)
-    val cb = crawlBench(spark, pagesDir, crawlN, hosts)
+    val crawlSpark = buildSession(crawlCpus, "graft-bench-crawl")
+    val pagesDir = generatePages(crawlSpark, crawlN, hosts, crawlCpus * 2)
+    val cb = crawlBench(crawlSpark, pagesDir, crawlN, hosts)
     results("crawl_frontier") = cb.seconds
+    crawlSpark.stop()
 
     val total = results.values.sum
     val qs = results.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
     println(
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""crawl_n":$crawlN,"crawl_urls":${cb.urls},"crawl_processed":${cb.processed},""" +
-      s""""crawl_rounds":${cb.rounds},"crawl_urls_per_sec":${f"${cb.processed / cb.seconds}%.1f"},"cpus":$cpus}""")
-    spark.stop()
+      s""""crawl_rounds":${cb.rounds},"crawl_urls_per_sec":${f"${cb.processed / cb.seconds}%.1f"},""" +
+      s""""crawl_cpus":$crawlCpus,"cpus":$cpus}""")
   }
 }
