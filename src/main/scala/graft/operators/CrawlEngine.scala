@@ -62,6 +62,13 @@ final case class CrawlConfig(
       * fixed per-task filter cost amortizes over millions of rows per task,
       * and the driver never materializes the hash column) */
     bloomDistributedMinRows: Long = 4L * 1000 * 1000,
+    /** >0: maintain `seen` as a (seed, url)-bucketed managed table so the
+      * per-round anti-join never re-shuffles the cumulative seen side —
+      * the shuffle that dominates once seen ≫ round size (the 10^10-URL
+      * scale path; with real Iceberg this is the table's bucket spec).
+      * 0 = read seen straight from the committed parquet increments and
+      * let the join shuffle it (fine while seen is round-sized). */
+    seenBuckets: Int = 0,
     /** frontier row-count under which the fetch join broadcasts the frontier */
     broadcastFrontierMaxRows: Long = 2L * 1000 * 1000,
     /** host-hash shards for frontier partition lineage (north rule) */
@@ -301,6 +308,32 @@ final class CrawlEngine(
     var done = prevCounters.done
     var roundsLog = Vector.empty[RoundCounters]
 
+    // Bucketed-seen mode (cfg.seenBuckets > 0): `seen` lives in a managed
+    // table bucketed by the anti-join keys, so the cumulative side arrives
+    // at every round's anti-join already hash-clustered -- the plan shows
+    // ONE Exchange (the round's candidates), never a reshuffle of the
+    // 10^10-row seen set. Rebuilt here from the committed increments (which
+    // also covers resume), appended after each commit. The parquet
+    // increments stay the durable source of truth; the table is a join
+    // accelerator, exactly what an Iceberg bucket spec gives for free.
+    val seenTable: Option[String] =
+      if (cfg.seenBuckets <= 0) None
+      else {
+        val name = "graft_seen_" + (ckptDir.hashCode.toLong & 0x7fffffffL)
+        spark.sql(s"DROP TABLE IF EXISTS $name")
+        val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+        val loc = java.nio.file.Paths.get(wh, name)
+        if (java.nio.file.Files.exists(loc)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(loc).iterator().asScala.toList.reverse
+            .foreach(java.nio.file.Files.delete)
+        }
+        seen.select("seed", "url").write.format("parquet")
+          .bucketBy(cfg.seenBuckets, "seed", "url").saveAsTable(name)
+        Some(name)
+      }
+    def seenForJoin: DataFrame = seenTable.map(spark.table).getOrElse(seen)
+
     // Cumulative Bloom over (seed, url) keys, rebuilt from seen on entry.
     // Two maintenance paths, gated by cfg.bloomDistributedMinRows:
     //  - small increments: COMPACT 64-bit hashes (xxhash64, computed in the
@@ -430,9 +463,9 @@ final class CrawlEngine(
           val keyed = cand.withColumn("_h", keyHashCol)
           val maybeSeen = keyed.filter(mightContain(col("_h"))).drop("_h")
           val definitelyNew = keyed.filter(!mightContain(col("_h"))).drop("_h")
-          maybeSeen.join(seen, Seq("seed", "url"), "left_anti").unionByName(definitelyNew)
+          maybeSeen.join(seenForJoin, Seq("seed", "url"), "left_anti").unionByName(definitelyNew)
         } else {
-          cand.join(seen, Seq("seed", "url"), "left_anti")
+          cand.join(seenForJoin, Seq("seed", "url"), "left_anti")
         }
       }.persist(StorageLevel.MEMORY_AND_DISK)
       val newUrls = newUrlsCached.observe(obsNew, count(lit(1)).as("n"))
@@ -498,6 +531,13 @@ final class CrawlEngine(
 
       // ---- bloom maintenance ----
       if (bloom != null && newCount > 0) bloomInsert(newUrlsCached.toDF(), newCount)
+
+      // ---- bucketed-seen maintenance: append the committed increment ----
+      if (newCount > 0) seenTable.foreach { name =>
+        spark.read.parquet(snap.tables("seen_inc")).select("seed", "url")
+          .write.format("parquet").mode("append")
+          .bucketBy(cfg.seenBuckets, "seed", "url").saveAsTable(name)
+      }
 
       // ---- rotate state ----
       stepOut.unpersist()
