@@ -9,7 +9,8 @@ import org.apache.spark.sql.SparkSession
  *
  *   spark-submit --class graft.CrawlMain <jar> \
  *     --pages <parquet dir> --seeds <url,url,...> --checkpoint <dir> \
- *     [--resume] [--budget N] [--round-seconds S] [--max-rounds N]
+ *     [--resume] [--budget N] [--round-seconds S] [--max-rounds N] \
+ *     [--bloom-expected N] [--bloom-distributed-min N] [--seen-buckets N]
  *
  * On a cluster nothing changes but the master/executor configs: the engine
  * is partition-parallel throughout (fetch join, tokenization, dedup
@@ -54,7 +55,10 @@ object CrawlMain {
     val cfg = CrawlConfig(
       perHostBudgetPerRound = a.get("budget").map(_.toInt).getOrElse(Int.MaxValue),
       roundSeconds = a.get("round-seconds").map(_.toDouble).getOrElse(30.0),
-      maxRounds = a.get("max-rounds").map(_.toInt).getOrElse(10000))
+      maxRounds = a.get("max-rounds").map(_.toInt).getOrElse(10000),
+      bloomExpectedInsertions = a.get("bloom-expected").map(_.toLong).getOrElse(4L * 1000 * 1000),
+      bloomDistributedMinRows = a.get("bloom-distributed-min").map(_.toLong).getOrElse(4L * 1000 * 1000),
+      seenBuckets = a.get("seen-buckets").map(_.toInt).getOrElse(0))
 
     val pages = spark.read.parquet(pagesDir)
     val engine = new CrawlEngine(spark, pages, cfg, ckpt)

@@ -79,6 +79,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     viaKernel.foreach { case (p, j) => assert(math.abs(pairs(p) - j) < 1e-12) }
   }
 
+  test("prefix-filtered exact join is lossless: identical pairs to the naive join") {
+    for ((df, t) <- Seq((crafted, 0.5), (crafted, 0.3), (docs, 0.3))) {
+      val naive = Dedup.ngramJaccardAllPairs(df, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSet
+      val pref = Dedup.ngramJaccardPrefixJoin(df, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSet
+      assert(pref == naive, s"prefix join diverged at t=$t")
+    }
+    // degenerate corpus: the common gram falls out of every prefix — no
+    // d² candidate blowup, but truly-similar pairs still survive
+    import spark.implicits._
+    val boiler = (0L until 50L).map(i =>
+      (i, s"shared boilerplate header text unique body $i with words ${i * 7}")).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPrefixJoin(boiler, threshold = 0.9).collect()
+    assert(pairs.isEmpty) // no pair is actually >= 0.9
+  }
+
   test("LSH bucket cap emits the capped_ids_dropped metric (never silent)") {
     import org.apache.spark.sql.execution.QueryExecution
     import org.apache.spark.sql.util.QueryExecutionListener
