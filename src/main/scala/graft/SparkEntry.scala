@@ -122,6 +122,21 @@ object SparkEntry {
   private val minhashRecallSql =
     ngramJaccardOracle("SELECT count(*) AS n_exact, true AS recall_ok FROM pairs", 0.3)
 
+  /** connected components over the near-dup pairs — DuckDB recursive CTE
+    * (transitive closure; clusters are tiny) vs Spark's iterative
+    * min-label propagation. */
+  private val dedupSurvivorsSql =
+    ngramJaccardOracle(
+      """, edges AS (
+        |  SELECT id_a AS s, id_b AS d FROM pairs UNION ALL SELECT id_b AS s, id_a AS d FROM pairs),
+        |walk(id, lab) AS (
+        |  SELECT s, s FROM edges
+        |  UNION
+        |  SELECT e.d, w.lab FROM walk w JOIN edges e ON e.s = w.id)
+        |SELECT id AS doc_id, min(lab) AS cluster_id, (id = min(lab)) AS is_canonical
+        |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin, 0.3)
+      .replaceFirst("WITH ", "WITH RECURSIVE ")
+
   private val embeddingNearDupSql =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -274,6 +289,15 @@ object SparkEntry {
       import s.implicits._
       Seq((nExact, nExact == 0 || nHit.toDouble / nExact >= 0.8))
         .toDF("n_exact", "recall_ok")
+    }),
+    // connected components over the exact near-dup pairs: cluster id =
+    // min doc id per component, canonical = the survivor to keep
+    "dedup_survivors" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val pairs = Dedup.ngramJaccardPrefixJoin(docs, k = 3, threshold = 0.3)
+      Dedup.nearDupClusters(pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"), col("is_canonical"))
+        .orderBy("doc_id")
     }),
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(s.read.parquet(s"$dir/documents.parquet"))
@@ -469,6 +493,7 @@ object SparkEntry {
     "ann_ivf_recall" -> annIvfRecallSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_minhash_recall" -> minhashRecallSql,
+    "dedup_survivors" -> dedupSurvivorsSql,
     "dedup_embedding_neardup" -> embeddingNearDupSql,
     "text_tokens_bpeish" -> bpeishSql,
     "text_quality" -> qualitySql,

@@ -219,6 +219,46 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /**
+   * Connected components over near-duplicate pairs — the canonical
+   * post-pair dedup step (cluster the near-dups, keep min-id per cluster).
+   * Iterative min-label propagation: each round joins labels across edges
+   * and keeps the per-node minimum; near-dup clusters have tiny diameter,
+   * so this converges in a handful of rounds (each one shuffle on node
+   * ids — the standard large-graph CC shape; GraphFrames does the same).
+   * Returns (id, cluster_id, is_canonical) for every node that appears in
+   * a pair; cluster_id = min id of the component.
+   */
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(lvl)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(lvl)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val viaEdge = edges
+        .join(labels.select(col("id").as("src"), col("label")), "src")
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.select("id", "label").unionByName(viaEdge)
+        .groupBy("id").agg(min(col("label")).as("label"))
+        .persist(lvl)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") < col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    require(converged, s"label propagation did not converge in $maxIters iterations")
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("cluster_id"),
+      (col("id") === col("label")).as("is_canonical"))
+  }
+
   // ---- simhash --------------------------------------------------------------------
 
   private val simhashUdf = udf((s: String) => TextKit.simhash64(Option(s).getOrElse("")))

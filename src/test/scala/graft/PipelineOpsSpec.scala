@@ -96,6 +96,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(pairs.isEmpty) // no pair is actually >= 0.9
   }
 
+  test("near-dup clusters: min-label propagation finds the planted components") {
+    val pairs = Dedup.ngramJaccardPrefixJoin(crafted, threshold = 0.3)
+    val clusters = Dedup.nearDupClusters(pairs)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("is_canonical"))).toMap
+    // {0,1,2} one component with canonical 0; {3,4} with canonical 3; 5 absent
+    assert(clusters(0L) == (0L, true))
+    assert(clusters(1L) == (0L, false))
+    assert(clusters(2L) == (0L, false))
+    assert(clusters(3L) == (3L, true))
+    assert(clusters(4L) == (3L, false))
+    assert(!clusters.contains(5L))
+    // a longer chain (transitivity across >1 hop): a-b, b-c, c-d → one cluster
+    import spark.implicits._
+    val chain = Seq((10L, 20L), (20L, 30L), (30L, 40L)).toDF("id_a", "id_b")
+    val cc = Dedup.nearDupClusters(chain).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(cc == Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 10L))
+  }
+
   test("LSH bucket cap emits the capped_ids_dropped metric (never silent)") {
     import org.apache.spark.sql.execution.QueryExecution
     import org.apache.spark.sql.util.QueryExecutionListener
