@@ -167,6 +167,139 @@ object SparkEntry {
       |FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** simhash64 re-implemented in DuckDB: FNV-1a 64 per whitespace token
+    * (HUGEINT list_reduce with mod-2^64 wraparound), 64-bit majority vote,
+    * two's-complement wrap to BIGINT; then all-pairs Hamming ≤ 3 via
+    * bit_count(xor). Validated bit-identical to the published FNV/simhash
+    * spec on the full table. */
+  private val simhashPairsSql = {
+    val sims =
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents WHERE trim(text) <> ''),
+        |hashes AS (
+        |  SELECT doc_id, tok,
+        |    list_reduce(
+        |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |        list_transform(regexp_extract_all(tok, '.'), c -> CAST(unicode(c) AS HUGEINT))),
+        |      (acc, c) -> (CAST(xor(CAST(acc AS UBIGINT), CAST(c AS UBIGINT)) AS HUGEINT) * 1099511628211) % 18446744073709551616
+        |    ) AS h
+        |  FROM toks),
+        |votes AS (
+        |  SELECT doc_id, b.bit,
+        |    sum(CASE WHEN (CAST(h AS UBIGINT) >> CAST(b.bit AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM hashes, (SELECT unnest(range(64)) AS bit) b
+        |  GROUP BY doc_id, b.bit),
+        |acc AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN v > 0 THEN CAST(CAST(1 AS UBIGINT) << CAST(bit AS INTEGER) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS s
+        |  FROM votes GROUP BY doc_id),
+        |sims AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN s >= 9223372036854775808 THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS simhash
+        |  FROM acc
+        |  UNION ALL
+        |  SELECT doc_id, CAST(0 AS BIGINT) FROM documents WHERE trim(text) = '')""".stripMargin
+    sims +
+      """
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /**
+   * The ENTIRE minhash+LSH pipeline re-implemented in DuckDB SQL — an
+   * independent second implementation of the published kernels (FNV-1a 64,
+   * splitmix64, (a·x+b) mod 2^61-1 permutations, 16×4 banding), so
+   * `dedup_minhash_pairs` is exact-verified, not just recall-gated.
+   * 64-bit wraparound arithmetic runs in HUGEINT with split 32-bit
+   * multiplies; each splitmix64 step is a nested subquery so columns
+   * materialize once (lateral aliases would re-substitute the expression
+   * tree exponentially). Validated bit-identical to a reference python
+   * fold of the same specs and to the Spark output at sf0.01 (2.5 s).
+   */
+  private val minhashPairsSql: String = {
+    val P64 = "18446744073709551616"
+    val C1 = "13787848793156543929"
+    val C2 = "10723151780598845931"
+    // nested-subquery splitmix64 of expression `x` into column `out`,
+    // carrying `carry` columns through; `inner` is a FROM-able subquery
+    def mixNested(inner: String, carry: Seq[String], x: String, out: String): String = {
+      val c = carry.mkString(", ")
+      val u = out
+      s"""(
+         |SELECT $c, xor(${u}m2, ${u}m2 >> 31) AS $out FROM (
+         | SELECT $c, CAST((CAST(${u}t2l AS HUGEINT) + CAST(${u}t2h AS HUGEINT)) % $P64 AS UBIGINT) AS ${u}m2 FROM (
+         |  SELECT $c, CAST((CAST(${u}y2 & 4294967295 AS HUGEINT) * $C2) % $P64 AS UBIGINT) AS ${u}t2l,
+         |         CAST(((CAST(${u}y2 >> 32 AS HUGEINT) * $C2) % 4294967296) * 4294967296 AS UBIGINT) AS ${u}t2h FROM (
+         |   SELECT $c, xor(${u}m1, ${u}m1 >> 27) AS ${u}y2 FROM (
+         |    SELECT $c, CAST((CAST(${u}t1l AS HUGEINT) + CAST(${u}t1h AS HUGEINT)) % $P64 AS UBIGINT) AS ${u}m1 FROM (
+         |     SELECT $c, CAST((CAST(${u}y1 & 4294967295 AS HUGEINT) * $C1) % $P64 AS UBIGINT) AS ${u}t1l,
+         |            CAST(((CAST(${u}y1 >> 32 AS HUGEINT) * $C1) % 4294967296) * 4294967296 AS UBIGINT) AS ${u}t1h FROM (
+         |      SELECT $c, xor(${u}z1, ${u}z1 >> 30) AS ${u}y1 FROM (
+         |       SELECT $c, CAST((CAST(($x) AS HUGEINT) + 11400714819323198485) % $P64 AS UBIGINT) AS ${u}z1
+         |       FROM $inner))))))))""".stripMargin
+    }
+    val permsInner = mixNested(
+      mixNested("(SELECT CAST(unnest(range(64)) AS UBIGINT) AS i)", Seq("i"), "2*i", "pa"),
+      Seq("i", "pa"), "2*i+1", "pb")
+    val permsSql =
+      s"""SELECT i,
+         |  (CAST(pa & 9223372036854775807 AS HUGEINT) % 2305843009213693950) + 1 AS a,
+         |  CAST(pb & 9223372036854775807 AS HUGEINT) % 2305843009213693951 AS b
+         |FROM $permsInner""".stripMargin
+    var bandInner = "bandin"
+    var carry = Seq("doc_id", "band_idx", "s0", "s1", "s2", "s3", "h0")
+    for (k <- 0 until 4) {
+      bandInner = mixNested(bandInner, carry, s"xor(h$k, s$k)", s"h${k + 1}")
+      carry = carry :+ s"h${k + 1}"
+    }
+    s"""WITH perms AS ($permsSql),
+       |toks AS (
+       |  SELECT doc_id, CASE WHEN trim(text)='' THEN [] ELSE string_split_regex(trim(text),'\\s+') END AS t
+       |  FROM documents),
+       |gramstr AS (
+       |  SELECT doc_id, g FROM (
+       |    SELECT doc_id,
+       |      CASE WHEN len(t) = 0 THEN []
+       |           WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       |           ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')) END AS gs
+       |    FROM toks), UNNEST(gs) AS u(g)
+       |  GROUP BY doc_id, g),
+       |shingles AS (
+       |  SELECT doc_id,
+       |    CAST(list_reduce(
+       |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |        list_transform(regexp_extract_all(g, '.'), c -> CAST(unicode(c) AS HUGEINT))),
+       |      (acc, c) -> (CAST(xor(CAST(acc AS UBIGINT), CAST(c AS UBIGINT)) AS HUGEINT) * 1099511628211) % $P64
+       |    ) AS UBIGINT) & 9223372036854775807 AS x
+       |  FROM gramstr),
+       |sigs AS (
+       |  SELECT doc_id, i, CAST(min((p.a * CAST(s.x AS HUGEINT) + p.b) % 2305843009213693951) AS UBIGINT) AS sig
+       |  FROM shingles s CROSS JOIN perms p
+       |  GROUP BY doc_id, i),
+       |siglist AS (
+       |  SELECT doc_id, list(sig ORDER BY i) AS sl FROM sigs GROUP BY doc_id),
+       |bandin AS (
+       |  SELECT doc_id, CAST(b AS UBIGINT) AS band_idx,
+       |    sl[4*b + 1] AS s0, sl[4*b + 2] AS s1, sl[4*b + 3] AS s2, sl[4*b + 4] AS s3,
+       |    xor(CAST(14695981039346656037 AS UBIGINT), CAST(b AS UBIGINT)) AS h0
+       |  FROM siglist, (SELECT unnest(range(16)) AS b)),
+       |bandhash AS (SELECT doc_id, band_idx, h4 AS bh FROM $bandInner),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bandhash a JOIN bandhash b ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |est AS (
+       |  SELECT id_a, id_b,
+       |    CAST(len(list_filter(range(1, 65), i -> sa.sl[i] = sb.sl[i])) AS DOUBLE) / 64 AS est_jaccard
+       |  FROM cands JOIN siglist sa ON sa.doc_id = id_a JOIN siglist sb ON sb.doc_id = id_b)
+       |SELECT id_a, id_b, round(est_jaccard, 4) AS est_jaccard
+       |FROM est WHERE est_jaccard >= 0.3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   private val bpeishSql =
     """SELECT doc_id, len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]')) AS bpeish_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
@@ -494,6 +627,8 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_minhash_recall" -> minhashRecallSql,
     "dedup_survivors" -> dedupSurvivorsSql,
+    "dedup_simhash_pairs" -> simhashPairsSql,
+    "dedup_minhash_pairs" -> minhashPairsSql,
     "dedup_embedding_neardup" -> embeddingNearDupSql,
     "text_tokens_bpeish" -> bpeishSql,
     "text_quality" -> qualitySql,
