@@ -114,6 +114,13 @@ object Bench {
       "ann_topk_brute", "ann_topk_lsh", "ann_topk_ivf",
       "text_quality", "text_lang_id", "text_fingerprint", "multimodal_meta")
 
+    // untimed warmup: JIT + codegen + parquet footers, so the first timed
+    // query measures the engine, not JVM cold start
+    try {
+      SparkEntry.queries("q1_agg")(spark, sfDir).write.format("noop").mode("overwrite").save()
+      SparkEntry.queries("ann_top1")(spark, sfDir).write.format("noop").mode("overwrite").save()
+    } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
+
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     headline.foreach { name =>
       val fn = SparkEntry.queries(name)
