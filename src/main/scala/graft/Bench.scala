@@ -52,7 +52,8 @@ object Bench {
     val pages = spark.read.parquet(pagesDir)
     val spec = PagesGen.ScaleSpec(n, hosts)
     val cfg = CrawlConfig(bloomMinSeen = 50000,
-      bloomExpectedInsertions = math.max(4L * 1000 * 1000, n + n / 5))
+      bloomExpectedInsertions = math.max(4L * 1000 * 1000, n + n / 5),
+      seenBuckets = sys.env.getOrElse("SPARK_GRAFT_SEEN_BUCKETS", "0").toInt)
     val t0 = System.nanoTime()
     val run = new CrawlEngine(spark, pages, cfg).crawlAll(spec.seeds)
     val sec = (System.nanoTime() - t0) / 1e9

@@ -75,4 +75,30 @@ object StreamOps {
           }
       }
   }
+
+  // ---- live crawl monitoring ------------------------------------------------
+
+  /** Schema of the engine's committed result increments (CrawlEngine
+    * StepOut minus candidates/depth + the robots-denied rows). */
+  val resultSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "seed string, url string, result_type string, status int, body string, " +
+        "location string, content_type string, error string, " +
+        "internal_links array<string>, external_links array<string>")
+
+  /** Tail a (possibly still-running) crawl checkpoint as a STREAM: each
+    * committed round's results_inc parquet files arrive as new stream
+    * input, so a live dashboard aggregates crawl progress without touching
+    * the engine. Returns per (seed, result_type) running counts; pair with
+    * Trigger.AvailableNow for catch-up reads or the default trigger for a
+    * continuous tail. The glob only ever matches COMMITTED files (the
+    * engine writes data before the manifest, and parquet part files appear
+    * atomically on rename), so the stream never sees a torn round.
+    */
+  def crawlResultsStream(spark: org.apache.spark.sql.SparkSession, checkpointDir: String): DataFrame =
+    spark.readStream
+      .schema(resultSchema)
+      .parquet(s"$checkpointDir/r*/results_inc")
+      .groupBy(col("seed"), col("result_type"))
+      .agg(count(lit(1)).as("n"))
 }

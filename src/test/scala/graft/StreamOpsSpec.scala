@@ -85,4 +85,26 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(out.get(2L).contains(1))
     } finally q.stop()
   }
+
+  test("crawlResultsStream tails a crawl checkpoint: stream counts == batch counts") {
+    import graft.operators.{CrawlConfig, CrawlEngine}
+    import graft.sources.PagesGen
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-crawl-").toString
+    val pages = PagesGen.fixtures(spark)
+    val seed = "http://127.0.0.1:8000/start"
+    val run = new CrawlEngine(spark, pages, CrawlConfig(), dir).crawl(seed)
+    // stream over the committed rounds (AvailableNow = catch-up semantics)
+    val q = StreamOps.crawlResultsStream(spark, dir)
+      .writeStream.format("memory").queryName("crawl_tail")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000L)
+    val streamed = spark.table("crawl_tail")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = run.results.groupBy("seed", "result_type").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+    assert(streamed.values.sum == 6) // collected_things: 6 result rows
+  }
 }
