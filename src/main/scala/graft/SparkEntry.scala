@@ -415,10 +415,13 @@ object SparkEntry {
     // (recall floor 0.8; measured 1.0 at sf0.01 and sf0.1)
     "dedup_minhash_recall" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      val exact = Dedup.ngramJaccardPrefixJoin(docs, k = 3, threshold = 0.3).select("id_a", "id_b")
+      // cache: the prefix join feeds both the count and the hit join
+      val exact = Dedup.ngramJaccardPrefixJoin(docs, k = 3, threshold = 0.3)
+        .select("id_a", "id_b").cache()
       val lsh = Dedup.minhashLshPairs(docs, threshold = 0.3).select("id_a", "id_b")
       val nExact = exact.count()
       val nHit = exact.join(lsh, Seq("id_a", "id_b")).count()
+      exact.unpersist()
       import s.implicits._
       Seq((nExact, nExact == 0 || nHit.toDouble / nExact >= 0.8))
         .toDF("n_exact", "recall_ok")
@@ -473,7 +476,9 @@ object SparkEntry {
     "ann_lsh_recall" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val q = emb.filter(col("vec_id") < 10)
-      val brute = Similarity.bruteForceTopK(emb, q, 10).select("query_id", "neighbor_id")
+      // cache: brute feeds both the per-query k aggregate and the hits join
+      // inside one plan (Catalyst does not dedup common subplans)
+      val brute = Similarity.bruteForceTopK(emb, q, 10).select("query_id", "neighbor_id").cache()
       val approx = Similarity.lshTopK(emb, q, 10, signBits = 5, tables = 8)
         .select("query_id", "neighbor_id")
       val hits = brute.join(approx, Seq("query_id", "neighbor_id"))
@@ -487,7 +492,7 @@ object SparkEntry {
     "ann_ivf_recall" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val q = emb.filter(col("vec_id") < 10)
-      val brute = Similarity.bruteForceTopK(emb, q, 10).select("query_id", "neighbor_id")
+      val brute = Similarity.bruteForceTopK(emb, q, 10).select("query_id", "neighbor_id").cache()
       val approx = Similarity.ivfTopK(emb, q, 10, nlist = 16, nprobe = 4)
         .select("query_id", "neighbor_id")
       val per = brute.groupBy("query_id").agg(count(lit(1)).as("k"))

@@ -103,7 +103,7 @@ object HttpKit {
 
   /** mime `essence_str` (http_client.rs:67-73): type/subtype, trimmed, lowercased. */
   def essence(contentType: String): Option[String] = {
-    val base = contentType.split(";", 2)(0).trim.toLowerCase
+    val base = contentType.split(";", 2)(0).trim.toLowerCase(java.util.Locale.ROOT)
     // a mime must parse as type "/" subtype (mime crate `.parse()?`)
     val slash = base.indexOf('/')
     if (slash <= 0 || slash == base.length - 1) None

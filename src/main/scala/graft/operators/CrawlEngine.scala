@@ -319,10 +319,22 @@ final class CrawlEngine(
     val seenTable: Option[String] =
       if (cfg.seenBuckets <= 0) None
       else {
-        val name = "graft_seen_" + (ckptDir.hashCode.toLong & 0x7fffffffL)
+        // name from a SHA-1 of the checkpoint dir: engines on distinct
+        // checkpoints can never collide (a 31-bit hashCode could), and two
+        // engines on the SAME checkpoint legitimately share the rebuild
+        val sha = java.security.MessageDigest.getInstance("SHA-1")
+          .digest(ckptDir.getBytes("UTF-8")).take(10).map("%02x".format(_)).mkString
+        val name = s"graft_seen_$sha"
         spark.sql(s"DROP TABLE IF EXISTS $name")
-        val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
-        val loc = java.nio.file.Paths.get(wh, name)
+        // clean stale files from a previous process (warehouse dir may be a
+        // plain path or a URI — don't feed raw paths to the URI parser)
+        val whConf = spark.conf.get("spark.sql.warehouse.dir")
+        val wh =
+          try {
+            val u = new java.net.URI(whConf)
+            if (u.getScheme != null) java.nio.file.Paths.get(u) else java.nio.file.Paths.get(whConf)
+          } catch { case _: Exception => java.nio.file.Paths.get(whConf) }
+        val loc = wh.resolve(name)
         if (java.nio.file.Files.exists(loc)) {
           import scala.jdk.CollectionConverters._
           java.nio.file.Files.walk(loc).iterator().asScala.toList.reverse
@@ -554,6 +566,10 @@ final class CrawlEngine(
       emptyFrontier = frontierCount == 0
       round += 1
     }
+
+    // the bucketed seen table is a join accelerator, not state: drop it so
+    // crawls don't leak warehouse tables (resume rebuilds from increments)
+    seenTable.foreach(name => spark.sql(s"DROP TABLE IF EXISTS $name"))
 
     new CrawlRun(spark, ckptDir, seeds, failures, roundsLog, round - 1)
   }

@@ -109,6 +109,22 @@ object Dedup {
       flatten(transform(ids, a => transform(ids, b => struct(a.as("_1"), b.as("_2"))))),
       p => p.getField("_1") < p.getField("_2"))
 
+  /** Row-local distinct word-k-grams per doc, collapsed to 64-bit hashes
+    * before any shuffle (the string never leaves the map side). Shared by
+    * both exact joins so the tokenization/fallback semantics (which the
+    * DuckDB oracles and TextKit.shingleHashes mirror) live in one place. */
+  private def hashedGrams(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    val gramsUdf = udf { (text: String) =>
+      val toks = TextKit.wsTokens(Option(text).getOrElse(""))
+      if (toks.isEmpty) Array.empty[String]
+      else if (toks.length < k) Array(toks.mkString(" "))
+      else (0 to toks.length - k).map(i => toks.slice(i, i + k).mkString(" ")).distinct.toArray
+    }
+    docs.select(col(idCol).as("id"), explode(gramsUdf(col(textCol))).as("g"))
+      .select(col("id"), xxhash64(col("g")).as("gh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
   /**
    * EXACT word-k-gram Jaccard similarity join over all pairs sharing at
    * least one gram — the classic inverted-index set-similarity join:
@@ -126,18 +142,7 @@ object Dedup {
   def ngramJaccardAllPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                            k: Int = 3, threshold: Double = 0.5,
                            maxDf: Int = Int.MaxValue): DataFrame = {
-    val gramsUdf = udf { (text: String) =>
-      val toks = TextKit.wsTokens(Option(text).getOrElse(""))
-      if (toks.isEmpty) Array.empty[String]
-      else if (toks.length < k) Array(toks.mkString(" "))
-      else (0 to toks.length - k).map(i => toks.slice(i, i + k).mkString(" ")).distinct.toArray
-    }
-    val grams = docs
-      .select(col(idCol).as("id"), explode(gramsUdf(col(textCol))).as("g"))
-      // gram strings collapse to 64-bit hashes before the shuffle (same
-      // pair counts w.h.p.; the string never leaves the map side)
-      .select(col("id"), xxhash64(col("g")).as("gh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grams = hashedGrams(docs, textCol, idCol, k)
     val filtered =
       if (maxDf == Int.MaxValue) grams
       else {
@@ -145,7 +150,10 @@ object Dedup {
           .observe("ngram_df_cap", count(lit(1)).as("grams_dropped"))
         grams.join(hot.select("gh"), Seq("gh"), "left_anti")
       }
-    val sizes = grams.groupBy("id").agg(count(lit(1)).as("sz"))
+    // sizes over the SAME (possibly df-filtered) gram space as the
+    // intersections — otherwise a dropped hot gram deflates jaccard for
+    // pairs that share it while still counting toward their set sizes
+    val sizes = filtered.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = filtered.withColumnRenamed("id", "id_a")
       .join(filtered.withColumnRenamed("id", "id_b"), Seq("gh"))
       .filter(col("id_a") < col("id_b"))
@@ -173,16 +181,7 @@ object Dedup {
    */
   def ngramJaccardPrefixJoin(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                              k: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val gramsUdf = udf { (text: String) =>
-      val toks = TextKit.wsTokens(Option(text).getOrElse(""))
-      if (toks.isEmpty) Array.empty[String]
-      else if (toks.length < k) Array(toks.mkString(" "))
-      else (0 to toks.length - k).map(i => toks.slice(i, i + k).mkString(" ")).distinct.toArray
-    }
-    val grams = docs
-      .select(col(idCol).as("id"), explode(gramsUdf(col(textCol))).as("g"))
-      .select(col("id"), xxhash64(col("g")).as("gh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grams = hashedGrams(docs, textCol, idCol, k)
     val dfCounts = grams.groupBy("gh").agg(count(lit(1)).as("df"))
     val sizes = grams.groupBy("id").agg(count(lit(1)).as("sz"))
     // global order: rarest gram first (df, then hash for determinism)
@@ -222,33 +221,42 @@ object Dedup {
   /**
    * Connected components over near-duplicate pairs — the canonical
    * post-pair dedup step (cluster the near-dups, keep min-id per cluster).
-   * Iterative min-label propagation: each round joins labels across edges
-   * and keeps the per-node minimum; near-dup clusters have tiny diameter,
-   * so this converges in a handful of rounds (each one shuffle on node
-   * ids — the standard large-graph CC shape; GraphFrames does the same).
-   * Returns (id, cluster_id, is_canonical) for every node that appears in
-   * a pair; cluster_id = min id of the component.
+   * Each iteration does one hop of min-label propagation across edges PLUS
+   * one pointer jump (label := label(label)), so convergence is
+   * O(log diameter), not O(diameter) — a 10^6-doc revision chain converges
+   * in ~20 rounds, each a node-id-keyed shuffle (the standard large-graph
+   * CC shape). Returns (id, cluster_id, is_canonical) for every node that
+   * appears in a pair; cluster_id = min id of the component.
    */
-  def nearDupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(lvl)
+    // localCheckpoint per iteration: the pointer jump references `hop`
+    // twice, so without lineage truncation the LOGICAL plan doubles every
+    // round (exponential tree — OOMs the plan-string machinery long before
+    // execution would). Each iteration therefore starts from a LogicalRDD.
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist(lvl)
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
       val viaEdge = edges
         .join(labels.select(col("id").as("src"), col("label")), "src")
         .select(col("dst").as("id"), col("label"))
-      val next = labels.select("id", "label").unionByName(viaEdge)
+      val hop = labels.select("id", "label").unionByName(viaEdge)
         .groupBy("id").agg(min(col("label")).as("label"))
-        .persist(lvl)
+      // pointer jump: follow the label one more step (label of my label);
+      // the label is always a node id of the same component, so the inner
+      // join is total
+      val next = hop
+        .join(hop.select(col("id").as("label"), col("label").as("label2")), Seq("label"))
+        .select(col("id"), least(col("label"), col("label2")).as("label"))
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") < col("old")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1

@@ -45,7 +45,7 @@ object RobotsKit {
     s.takeWhile(c => c.isLetter || c == '-' || c == '_')
 
   def parse(robots: String, userAgent: String): Parsed = {
-    val uaToken = extractUserAgent(userAgent).toLowerCase
+    val uaToken = extractUserAgent(userAgent).toLowerCase(java.util.Locale.ROOT)
     var specific = Vector.newBuilder[Rule]
     var global = Vector.newBuilder[Rule]
     var hasSpecific = false
@@ -66,14 +66,14 @@ object RobotsKit {
       if (line.nonEmpty) {
         val colon = line.indexOf(':')
         if (colon > 0) {
-          val key = line.substring(0, colon).trim.toLowerCase
+          val key = line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
           val value = line.substring(colon + 1).trim
           key match {
             case "user-agent" | "useragent" | "user agent" =>
               if (!lastWasUserAgent) { inSpecific = false; inGlobal = false }
               lastWasUserAgent = true
               if (value == "*") inGlobal = true
-              else if (extractUserAgent(value).toLowerCase == uaToken && uaToken.nonEmpty) {
+              else if (extractUserAgent(value).toLowerCase(java.util.Locale.ROOT) == uaToken && uaToken.nonEmpty) {
                 inSpecific = true
                 hasSpecific = true
               }

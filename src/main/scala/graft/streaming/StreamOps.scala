@@ -91,9 +91,12 @@ object StreamOps {
     * input, so a live dashboard aggregates crawl progress without touching
     * the engine. Returns per (seed, result_type) running counts; pair with
     * Trigger.AvailableNow for catch-up reads or the default trigger for a
-    * continuous tail. The glob only ever matches COMMITTED files (the
-    * engine writes data before the manifest, and parquet part files appear
-    * atomically on rename), so the stream never sees a torn round.
+    * continuous tail. Part files appear atomically (rename on commit), so
+    * rows are never torn — but the engine writes data BEFORE the round
+    * manifest, so a crash in that window can surface a round the resumed
+    * job rewrites; a monitoring consumer tolerates that transient
+    * over-count (the durable source of truth is the manifest chain, which
+    * CrawlApi.status reads).
     */
   def crawlResultsStream(spark: org.apache.spark.sql.SparkSession, checkpointDir: String): DataFrame =
     spark.readStream

@@ -167,7 +167,7 @@ object TextKit {
   /** Predicted language + per-language hit ratios; deterministic tie-break
     * (highest ratio, then alphabetical), "und" when nothing matches. */
   def langId(s: String): String = {
-    val toks = wsTokens(s.toLowerCase)
+    val toks = wsTokens(s.toLowerCase(java.util.Locale.ROOT))
     if (toks.isEmpty) return "und"
     // zh has no spaces: also scan characters
     val zhHits = s.count(c => stopwords("zh").contains(c.toString))
@@ -193,7 +193,7 @@ object TextKit {
     val alpha = s.count(_.isLetter).toDouble / nChars
     val punct = s.count(c => !c.isLetterOrDigit && !c.isWhitespace).toDouble / nChars
     val sw = stopwords("en")
-    val swRatio = toks.count(t => sw.contains(t.toLowerCase)).toDouble / nTokens
+    val swRatio = toks.count(t => sw.contains(t.toLowerCase(java.util.Locale.ROOT))).toDouble / nTokens
     val meanLen = toks.map(_.length).sum.toDouble / nTokens
     // simple composite in [0,1]: alphabetic, not punctuation-heavy, has some
     // stopwords, mean token length in a natural-language band

@@ -138,7 +138,7 @@ object UrlKit {
     if (raw.isEmpty) return Left("empty host")
     if (raw.startsWith("[")) {
       if (!raw.endsWith("]")) return Left("invalid IPv6 address")
-      return Right(Ipv6Host(raw.substring(1, raw.length - 1).toLowerCase))
+      return Right(Ipv6Host(raw.substring(1, raw.length - 1).toLowerCase(java.util.Locale.ROOT)))
     }
     val decoded = pctDecode(raw)
     val forbidden = "\u0000\t\n\r #/:?@[\\]<>^|"
@@ -152,7 +152,7 @@ object UrlKit {
       else
         try java.net.IDN.toASCII(decoded, java.net.IDN.ALLOW_UNASSIGNED)
         catch { case _: IllegalArgumentException => return Left("invalid international domain name") }
-    val lower = ascii.toLowerCase
+    val lower = ascii.toLowerCase(java.util.Locale.ROOT)
     if (endsInNumber(lower)) parseIpv4(lower)
     else Right(DomainHost(lower))
   }
@@ -198,7 +198,7 @@ object UrlKit {
   private def isSingleDot(seg: String): Boolean =
     seg == "." || seg.equalsIgnoreCase("%2e")
   private def isDoubleDot(seg: String): Boolean = {
-    val l = seg.toLowerCase
+    val l = seg.toLowerCase(java.util.Locale.ROOT)
     l == ".." || l == ".%2e" || l == "%2e." || l == "%2e%2e"
   }
 
@@ -232,7 +232,7 @@ object UrlKit {
     if (s.isEmpty || !s.charAt(0).isLetter) return None
     var i = 1
     while (i < s.length && (s.charAt(i).isLetterOrDigit || "+-.".contains(s.charAt(i)))) i += 1
-    if (i < s.length && s.charAt(i) == ':') Some((s.substring(0, i).toLowerCase, s.substring(i + 1)))
+    if (i < s.length && s.charAt(i) == ':') Some((s.substring(0, i).toLowerCase(java.util.Locale.ROOT), s.substring(i + 1)))
     else None
   }
 

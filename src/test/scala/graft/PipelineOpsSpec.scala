@@ -108,12 +108,13 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(clusters(3L) == (3L, true))
     assert(clusters(4L) == (3L, false))
     assert(!clusters.contains(5L))
-    // a longer chain (transitivity across >1 hop): a-b, b-c, c-d → one cluster
+    // a LONG chain (diameter 40 — e.g. successive page revisions): pointer
+    // jumping converges in O(log diameter), far under maxIters
     import spark.implicits._
-    val chain = Seq((10L, 20L), (20L, 30L), (30L, 40L)).toDF("id_a", "id_b")
+    val chain = (0L until 40L).map(i => (100L + i, 101L + i)).toDF("id_a", "id_b")
     val cc = Dedup.nearDupClusters(chain).collect()
       .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
-    assert(cc == Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 10L))
+    assert(cc.size == 41 && cc.values.forall(_ == 100L))
   }
 
   test("LSH bucket cap emits the capped_ids_dropped metric (never silent)") {

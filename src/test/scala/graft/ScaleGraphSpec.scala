@@ -66,11 +66,16 @@ class ScaleGraphSpec extends AnyFunSuite {
     assert(bucketed.rounds.map(_.deduped) == plain.rounds.map(_.deduped))
     assert(bucketed.results.count() == plain.results.count())
 
-    // the engine's seen table is (seed,url)-bucketed: the exact anti-join
-    // shape it runs shows ONE exchange (candidates) and none above the
+    // the accelerator table is dropped at crawl end — no warehouse leak
+    assert(!spark.catalog.listTables().collect().exists(_.name.startsWith("graft_seen_")))
+
+    // rebuild the exact table shape the engine used and assert the
+    // anti-join it runs: ONE exchange (candidates) and none above the
     // bucketed scan — the cumulative side is never reshuffled
-    val name = "graft_seen_" + (dir.hashCode.toLong & 0x7fffffffL)
-    assert(spark.catalog.tableExists(name))
+    val name = "graft_seen_plan_assert"
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    bucketed.results.select("seed", "url").write.format("parquet")
+      .bucketBy(8, "seed", "url").saveAsTable(name)
     assert(spark.table(name).count() == bucketed.results.count()) // seen == results at fixpoint
     import spark.implicits._
     // at real scale seen can't broadcast; force that regime so the plan
@@ -85,7 +90,10 @@ class ScaleGraphSpec extends AnyFunSuite {
       assert(exchanges == 1, s"expected 1 exchange (candidates only), plan:\n$plan")
       assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
         s"seen side not read as bucketed:\n$plan")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+    }
     pages.unpersist()
   }
 
