@@ -374,7 +374,13 @@ object SparkEntry {
     "q_join_agg_bucketed" -> ((s, dir) => {
       if (!s.catalog.tableExists("orders_bkt")) {
         // clear stale managed-table locations from a previous process
-        val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+        // (warehouse dir may be a plain path or a URI)
+        val whConf = s.conf.get("spark.sql.warehouse.dir")
+        val wh =
+          try {
+            val u = new java.net.URI(whConf)
+            if (u.getScheme != null) java.nio.file.Paths.get(u).toString else whConf
+          } catch { case _: Exception => whConf }
         Seq("orders_bkt", "customer_bkt").foreach { t =>
           s.sql(s"DROP TABLE IF EXISTS $t")
           val p = java.nio.file.Paths.get(wh, t)

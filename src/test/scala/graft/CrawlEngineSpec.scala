@@ -367,6 +367,34 @@ class CrawlEngineSpec extends AnyFunSuite {
       s""""$h2/start": {"ServerFailure": {"status": 500, "body": "Internal server error"}}"""))
   }
 
+  test("end to end: entity-decoded hrefs and non-ASCII bodies flow through the engine") {
+    import spark.implicits._
+    // a page whose links need charref decoding (&amp; and a named entity in
+    // the query) and whose body text is non-ASCII UTF-8 — exercises
+    // tokenizer entity decode → WHATWG join/percent-encode → fetch-join key
+    val h = "https://entities.example.com"
+    val body =
+      s"""<html><body>Bücher &amp; Töne — straße
+         |<a href="/x?a&amp;b">one</a>
+         |<a href="/y?v=&frac12;">two</a>
+         |</body></html>""".stripMargin
+    val rows = Seq(
+      PagesGen.mkRow(s"$h/start", PagesGen.okHtmlUtf8(body), 0L),
+      // the decoded+encoded forms must be the stored urls for the fetch to hit
+      PagesGen.mkRow(s"$h/x?a&b", PagesGen.okHtmlUtf8(PagesGen.htmlWithLinks(Seq.empty)), 1L),
+      PagesGen.mkRow(s"$h/y?v=%C2%BD", PagesGen.okHtmlUtf8(PagesGen.htmlWithLinks(Seq.empty)), 2L))
+    val run = new CrawlEngine(spark, spark.createDataset(rows).toDF()).crawl(s"$h/start")
+    val m = collectMap(run, s"$h/start")
+    assert(m.keySet == Set(s"$h/start", s"$h/x?a&b", s"$h/y?v=%C2%BD"))
+    assert(m(s"$h/start").t == "Crawled")
+    assert(m(s"$h/x?a&b").t == "Crawled")
+    assert(m(s"$h/y?v=%C2%BD").t == "Crawled")
+    assert(run.status.map(_.fetched).sum == 3) // all three fetched exactly once
+    // the non-ASCII body round-trips byte-identically into the text column
+    val text = rows.head.text
+    assert(text.contains("Bücher & Töne — straße"))
+  }
+
   test("pinned http_classify oracle rows cover every fixture and match the classifier") {
     // the driver oracle's VALUES are hand-derived from http_client.rs:64-94
     // per fixture; this locks HttpKit to them (and the pin set to the
