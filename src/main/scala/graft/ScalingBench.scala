@@ -48,6 +48,40 @@ object ScalingBench {
         s""""processed":${r.processed},"urls_per_sec":${f"$tp%.1f"},"rounds":${r.rounds},""" +
         s""""fetched":${r.fetched},"deduped":${r.deduped},"robots_denied":${r.robotsDenied}}""")
 
+    case "kernel" :: cpusStr :: nStr :: Nil =>
+      // Isolated Spark kernel: parquet scan → classify → tokenize+extract
+      // (the crawl's CPU-heavy stage) with NO checkpoint writes — separates
+      // the engine's parallel term from the single-virtio-disk commit cost.
+      val cpus = cpusStr.toInt
+      val n = nStr.toLong
+      val s = Bench.buildSession(cpus, s"graft-kernel-$cpus")
+      import s.implicits._
+      def pass(): (Long, Long) = {
+        val out = s.read.parquet(pagesDir(n)).select("url", "html")
+          .as[(String, Array[Byte])]
+          .mapPartitions(_.map { case (url, html) =>
+            val c = graft.httpkit.HttpKit.classify(url, html)
+            if (c.kind == graft.httpkit.HttpKit.Kind.Html) {
+              val body = c.body.getOrElse("")
+              (graft.htmlkit.HtmlKit.extractLinksStr(url, body).size.toLong,
+                graft.htmlkit.HtmlKit.extractText(body).length.toLong)
+            } else (0L, 0L)
+          })
+          .toDF("links", "chars")
+          .agg(org.apache.spark.sql.functions.sum("links"), org.apache.spark.sql.functions.sum("chars"))
+          .head()
+        (out.getLong(0), out.getLong(1))
+      }
+      // warm with one partial pass over the small warm table
+      s.read.parquet(warmDir).select("url", "html").as[(String, Array[Byte])]
+        .mapPartitions(_.map { case (u, h) => graft.httpkit.HttpKit.classify(u, h).kind }).count()
+      val t0 = System.nanoTime()
+      val (links, chars) = pass()
+      val sec = (System.nanoTime() - t0) / 1e9
+      s.stop()
+      println(s"""{"metric":"kernel","cpus":$cpus,"n":$n,"sec":${f"$sec%.2f"},""" +
+        s""""pages_per_sec":${f"${n / sec}%.1f"},"links":$links,"chars":$chars}""")
+
     case "control" :: threadsStr :: rest if rest.size <= 1 =>
       // Pure-JVM control: the tokenizer kernel across a thread pool —
       // measures THIS VM's thread-scaling ceiling so the crawl's scaling can

@@ -12,13 +12,18 @@ import graft.sources.PagesGen
  * crawl; `queries` exposes one entry per implemented operator; `oracleSql`
  * gives DuckDB-runnable SQL for everything SQL-expressible.
  *
- * Two oracle families:
+ * Three oracle families:
  *  - sfDir queries: portable SQL over the driver-provided parquet tables
  *    (lineitem/orders/customer/nation/events/documents/embeddings).
+ *  - kernel queries (minhash/simhash/fingerprint/quality/lang-id/ngram):
+ *    the published formula re-implemented INDEPENDENTLY in DuckDB dialect
+ *    (HUGEINT modular arithmetic, recursive CTEs) — two implementations of
+ *    one spec, so a Scala kernel regression fails the hash compare.
  *  - fixture crawl queries: the pages table is synthesized in-session
  *    (PagesGen, deterministic), so the oracle is a VALUES literal holding
- *    the hand-derived golden result from the reference's own tests
- *    (tests/integration.rs:207-330 etc.) — DuckDB needs no tables for it.
+ *    the HAND-PINNED golden result from the reference's own tests and
+ *    crate semantics (tests/integration.rs:207-330, url 2.2.2,
+ *    http_client.rs) — never computed by the code under test.
  */
 object SparkEntry {
 
