@@ -173,7 +173,8 @@ object SparkEntry {
       |ORDER BY doc_id""".stripMargin
 
   /** simhash64 re-implemented in DuckDB: FNV-1a 64 per whitespace token
-    * (HUGEINT list_reduce with mod-2^64 wraparound), 64-bit majority vote,
+    * folded over the token's UTF-8 BYTES (hex-decode fold — byte-exact for
+    * any input, not just ASCII; HUGEINT mod-2^64 wraparound), majority vote,
     * two's-complement wrap to BIGINT; then all-pairs Hamming ≤ 3 via
     * bit_count(xor). Validated bit-identical to the published FNV/simhash
     * spec on the full table. */
@@ -186,10 +187,12 @@ object SparkEntry {
         |  SELECT doc_id, tok,
         |    list_reduce(
         |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
-        |        list_transform(regexp_extract_all(tok, '.'), c -> CAST(unicode(c) AS HUGEINT))),
+        |        list_transform(range(octet_length(encode(tok))),
+        |          i -> CAST(strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INTEGER), 1)) * 16
+        |                    + strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INTEGER), 1)) - 17 AS HUGEINT))),
         |      (acc, c) -> (CAST(xor(CAST(acc AS UBIGINT), CAST(c AS UBIGINT)) AS HUGEINT) * 1099511628211) % 18446744073709551616
         |    ) AS h
-        |  FROM toks),
+        |  FROM (SELECT doc_id, tok, hex(encode(tok)) AS hx FROM toks)),
         |votes AS (
         |  SELECT doc_id, b.bit,
         |    sum(CASE WHEN (CAST(h AS UBIGINT) >> CAST(b.bit AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
@@ -277,10 +280,12 @@ object SparkEntry {
        |  SELECT doc_id,
        |    CAST(list_reduce(
        |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
-       |        list_transform(regexp_extract_all(g, '.'), c -> CAST(unicode(c) AS HUGEINT))),
+       |        list_transform(range(octet_length(encode(g))),
+       |          i -> CAST(strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INTEGER), 1)) * 16
+       |                    + strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INTEGER), 1)) - 17 AS HUGEINT))),
        |      (acc, c) -> (CAST(xor(CAST(acc AS UBIGINT), CAST(c AS UBIGINT)) AS HUGEINT) * 1099511628211) % $P64
        |    ) AS UBIGINT) & 9223372036854775807 AS x
-       |  FROM gramstr),
+       |  FROM (SELECT doc_id, g, hex(encode(g)) AS hx FROM gramstr)),
        |sigs AS (
        |  SELECT doc_id, i, CAST(min((p.a * CAST(s.x AS HUGEINT) + p.b) % 2305843009213693951) AS UBIGINT) AS sig
        |  FROM shingles s CROSS JOIN perms p
