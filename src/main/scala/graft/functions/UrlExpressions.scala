@@ -74,6 +74,52 @@ case class UrlDomain(child: Expression) extends UnaryExpression {
   override def prettyName: String = "url_domain_native"
 }
 
+/** Frontier host key (host[:port], "" fallback) as an expression — the
+  * politeness partition key computed without a UDF encoder boundary. */
+case class UrlHostPort(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(UrlKit.hostPortStr(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kit = UrlKit.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = UTF8String.fromString($kit.hostPortStr($c.toString()));")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "url_host_port_native"
+}
+
+/** FNV-64 host shard in [0, numShards) — the frontier's physical partition
+  * column, fully codegen'd (straight-line hash + mod, no kit call). */
+case class HostShard(child: Expression, numShards: Int) extends UnaryExpression {
+  require(numShards > 0, "numShards must be positive")
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val h = graft.textkit.TextKit.fnv64(input.asInstanceOf[UTF8String].toString)
+    (((h % numShards) + numShards) % numShards).toInt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kit = graft.textkit.TextKit.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |long ${ev.value}_h = $kit.fnv64($c.toString());
+         |${ev.value} = (int) (((${ev.value}_h % $numShards) + $numShards) % $numShards);
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "host_shard_native"
+}
+
 object UrlExpressions {
 
   /** Register the native expressions; use them as columns via
@@ -85,10 +131,20 @@ object UrlExpressions {
       "url_strip_fragment_native", exprs => UrlStripFragment(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "url_domain_native", exprs => UrlDomain(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "url_host_port_native", exprs => UrlHostPort(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "host_shard_native", exprs =>
+        HostShard(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
   }
 
   def url_strip_fragment_native(c: Column): Column =
     org.apache.spark.sql.functions.call_function("url_strip_fragment_native", c)
   def url_domain_native(c: Column): Column =
     org.apache.spark.sql.functions.call_function("url_domain_native", c)
+  def url_host_port_native(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("url_host_port_native", c)
+  def host_shard_native(c: Column, numShards: Int): Column =
+    org.apache.spark.sql.functions.call_function("host_shard_native", c,
+      org.apache.spark.sql.functions.lit(numShards))
 }

@@ -399,6 +399,12 @@ object UrlKit {
   /** url-crate `domain()`: None for IP hosts / host-less URLs / bad URLs. */
   def domainStr(s: String): Option[String] = parse(s).toOption.flatMap(_.domain)
 
+  /** Frontier partition key: serialized host plus explicit port ("" for
+    * host-less / unparseable urls) — the politeness grouping key. */
+  def hostPortStr(s: String): String =
+    parse(s).toOption.flatMap(u =>
+      u.host.map(h => h.serialize + u.port.map(":" + _).getOrElse(""))).getOrElse("")
+
   /** Strip the fragment from an already-canonical URL string. */
   def stripFragmentStr(s: String): String = {
     val idx = s.indexOf('#')

@@ -343,6 +343,36 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(collectMap(resumed, good) == expectedGood)
   }
 
+  test("robots prefetch is ONE Spark job regardless of seed count (resume path)") {
+    // 100 robots urls through the shared batched lookup: a per-seed
+    // filter+collect would issue 100 jobs; the isin scan issues exactly one.
+    // Pages go through parquet so the lookup is a REAL scan (a LocalRelation
+    // would be folded driver-side and prove nothing).
+    val pdir = java.nio.file.Files.createTempDirectory("graft-robots-batch-").toString
+    pages.write.mode("overwrite").parquet(pdir)
+    val filePages = spark.read.parquet(pdir)
+    filePages.count() // warm the file index so listing jobs don't count below
+    val engine = new CrawlEngine(spark, filePages)
+    val robotsUrls = (0 until 100).map(i => s"https://host$i.example.com/robots.txt") :+
+      s"${PagesGen.host("robots-excluded")}/robots.txt"
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val m = engine.robotsBytesFor(robotsUrls)
+      // the one fixture robots row comes back; the 100 absent hosts don't
+      assert(m.keySet == Set(s"${PagesGen.host("robots-excluded")}/robots.txt"))
+      // listener bus is async — poll until the job event lands
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (jobs.get() < 1 && System.nanoTime() < deadline) Thread.sleep(20)
+      Thread.sleep(200) // grace period: any extra jobs would land here
+      assert(jobs.get() == 1, s"expected one lookup job, saw ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("fragment seed: fetched via the stripped url, recorded under the original") {
     // reqwest never sends fragments on the wire; the reference's seen set
     // still keys the fragment form, so /start is later fetched again plain

@@ -80,12 +80,17 @@ class PipelineOpsSpec extends AnyFunSuite {
   }
 
   test("prefix-filtered exact join is lossless: identical pairs to the naive join") {
-    for ((df, t) <- Seq((crafted, 0.5), (crafted, 0.3), (docs, 0.3))) {
+    // spans both dispatch regimes of ngramJaccard (crossover 0.7) and
+    // exercises the length + positional filters at high and low t
+    for ((df, t) <- Seq((crafted, 0.5), (crafted, 0.3), (crafted, 0.8), (docs, 0.3), (docs, 0.8))) {
       val naive = Dedup.ngramJaccardAllPairs(df, threshold = t)
         .collect().map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSet
       val pref = Dedup.ngramJaccardPrefixJoin(df, threshold = t)
         .collect().map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSet
       assert(pref == naive, s"prefix join diverged at t=$t")
+      val adaptive = Dedup.ngramJaccard(df, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSet
+      assert(adaptive == naive, s"adaptive dispatch diverged at t=$t")
     }
     // degenerate corpus: the common gram falls out of every prefix — no
     // d² candidate blowup, but truly-similar pairs still survive
@@ -234,6 +239,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     val ivf2 = Similarity.ivfTopK(emb, queries, 5, nlist = 16, nprobe = 4).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     assert(ivf == ivf2)
+  }
+
+  test("IVF fit/query split: one fit serves repeated query batches, no fit in the query plan") {
+    val index = Similarity.ivfFit(emb, nlist = 16)
+    try {
+      assert(index.codebook.length == 16)
+      // two different query batches against the SAME fitted index
+      val q1 = Similarity.ivfQuery(index, emb.filter($"vec_id" < 10), 5, nprobe = 4)
+      val q2 = Similarity.ivfQuery(index, emb.filter($"vec_id" >= 10 && $"vec_id" < 20), 5, nprobe = 4)
+      assert(q1.select("query_id").distinct().count() == 10)
+      assert(q2.select("query_id").distinct().count() == 10)
+      // the query plan reads the persisted assignment (InMemoryTableScan) —
+      // no KMeans/fit stage can appear because ivfQuery never sees the corpus
+      val plan = q1.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+        s"expected the precomputed cell assignment cache in the plan:\n$plan")
+      // ivfQuery on the shared index matches the one-shot wrapper
+      val viaWrapper = Similarity.ivfTopK(emb, emb.filter($"vec_id" < 10), 5, nlist = 16, nprobe = 4)
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      val viaSplit = q1.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      assert(viaSplit == viaWrapper)
+    } finally index.close()
   }
 
   test("language id: deterministic heuristic with real stopword texts") {

@@ -49,6 +49,34 @@ class UrlExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("url_host_port_native + host_shard_native match the kit semantics") {
+    UrlExpressions.registerAll(spark)
+    val rows = urlsDf
+      .select(col("url"),
+        UrlExpressions.url_host_port_native(col("url")).as("hp"),
+        UrlExpressions.host_shard_native(
+          UrlExpressions.url_host_port_native(col("url")), 16).as("shard"))
+      .collect()
+    rows.foreach { r =>
+      val url = r.getString(0)
+      val expectedHost = UrlKit.hostPortStr(url)
+      assert(r.getString(1) == expectedHost, s"host for $url")
+      val h = graft.textkit.TextKit.fnv64(expectedHost)
+      val expectedShard = (((h % 16) + 16) % 16).toInt
+      assert(r.getInt(2) == expectedShard, s"shard for $url")
+      assert(r.getInt(2) >= 0 && r.getInt(2) < 16)
+    }
+    // explicit-port and empty-host cases
+    assert(UrlKit.hostPortStr("http://127.0.0.1:8000/p") == "127.0.0.1:8000")
+    assert(UrlKit.hostPortStr("mailto:x@y.com") == "")
+    // the frontier projection plan has no Scala-UDF boundary
+    val plan = urlsDf
+      .select(UrlExpressions.url_host_port_native(col("url")).as("host"))
+      .select(UrlExpressions.host_shard_native(col("host"), 8))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("host_shard_native") && !plan.contains("UDF"))
+  }
+
   test("native expression stays out of the UDF boundary in the plan") {
     UrlExpressions.registerAll(spark)
     val plan = urlsDf.select(UrlExpressions.url_strip_fragment_native(col("url")))

@@ -23,7 +23,9 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(round(v, 9))
+        # %.9g: relative (not fixed-decimal) precision, and -0.0 + 0.0
+        # normalizes the signed zero (round-2 ADVICE)
+        return "%.9g" % (v + 0.0 if v != 0.0 else 0.0)
     return str(v)
 
 
