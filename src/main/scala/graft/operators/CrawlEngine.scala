@@ -146,7 +146,11 @@ final class CrawlEngine(
     spark: SparkSession,
     pages: DataFrame,
     cfg: CrawlConfig = CrawlConfig(),
-    checkpointDir: String = null
+    checkpointDir: String = null,
+    // the storage boundary: every commit/read goes through this (driver-
+    // side only, hence transient); swap for a real catalog without
+    // touching the engine
+    @transient private val catalog: graft.sources.TableCatalog = TableIO
 ) extends Serializable {
   import CrawlEngine._
   import spark.implicits._
@@ -232,7 +236,7 @@ final class CrawlEngine(
     // round 0 commit: seeds only
     val counters0 = RoundCounters(0, 0, seedRows.size, 0, deniedSeeds.size, 0,
       deniedSeeds.size, allowedSeeds.size)
-    TableIO.commit(spark, ckptDir, 0,
+    catalog.commit(spark, ckptDir, 0,
       Map("frontier" -> frontier0, "seen_inc" -> seen0, "results_inc" -> excluded0),
       liveSeeds, countersToMap(counters0),
       partitionBy = Map("frontier" -> Seq("host_shard")),
@@ -243,9 +247,9 @@ final class CrawlEngine(
 
   /** Resume from the last committed round of `checkpointDir`. */
   def resume(): CrawlRun = {
-    val last = TableIO.latestRound(ckptDir).getOrElse(
+    val last = catalog.latestRound(ckptDir).getOrElse(
       throw new IllegalStateException(s"no committed rounds under $ckptDir"))
-    val snap = TableIO.readSnapshot(ckptDir, last)
+    val snap = catalog.readSnapshot(ckptDir, last)
     val seeds = snap.seeds
     // robots re-derived from the immutable pages table — ONE batched scan
     // for all seeds, exactly like crawlAll (round-2 VERDICT #5)
@@ -265,7 +269,7 @@ final class CrawlEngine(
     }
     // failures persisted in the round-0 manifest: a seed whose robots fetch
     // failed keeps raising CrawlFailedException after resume (the 500 path)
-    val failures = TableIO.readSnapshot(ckptDir, 0).failures
+    val failures = catalog.readSnapshot(ckptDir, 0).failures
     runLoop(seeds, failures, robotsRules, crawlDelays, startRound = last + 1)
   }
 
@@ -302,15 +306,14 @@ final class CrawlEngine(
 
     // restore state from the last committed round
     val lastCommitted = startRound - 1
-    val lastSnap = TableIO.readSnapshot(ckptDir, lastCommitted)
-    var frontier = TableIO.readTable(spark, lastSnap, "frontier")
+    val lastSnap = catalog.readSnapshot(ckptDir, lastCommitted)
+    var frontier = catalog.readTable(spark, lastSnap, "frontier")
     var frontierCount = frontier.count()
     // full seen = union of all committed increments (lazy parquet read:
     // scanned once per round by the anti-join, so no persist)
-    def seenIncPaths(upTo: Int): Seq[String] =
-      (0 to upTo).map(r => TableIO.readSnapshot(ckptDir, r))
-        .flatMap(_.tables.get("seen_inc"))
-    var seen = spark.read.parquet(seenIncPaths(lastCommitted): _*)
+    def seenIncSnaps(upTo: Int): Seq[TableIO.Snapshot] =
+      (0 to upTo).map(r => catalog.readSnapshot(ckptDir, r))
+    var seen = catalog.readTables(spark, seenIncSnaps(lastCommitted), "seen_inc")
     var seenCount = seen.count()
     var prevCounters = mapToCounters(lastCommitted, lastSnap.counters)
     var done = prevCounters.done
@@ -530,7 +533,7 @@ final class CrawlEngine(
       // ---- commit (counters evaluated after the data writes land) ----
       var counters: RoundCounters = null
       val fetched = frontierCount - deferredCount
-      val snap = TableIO.commit(spark, ckptDir, round,
+      val snap = catalog.commit(spark, ckptDir, round,
         Map("frontier" -> nextFrontier, "seen_inc" -> seenInc, "results_inc" -> resultsRound),
         seeds, counters = {
           val discovered = obsCand.get("n").asInstanceOf[Long]
@@ -550,15 +553,15 @@ final class CrawlEngine(
       // frontier and seen are re-read from the committed parquet: constant-
       // depth, disk-backed lineage regardless of round count (without this
       // the plan tree grows exponentially with rounds)
-      val committedFrontier = spark.read.parquet(snap.tables("frontier"))
-      val newSeen = spark.read.parquet(seenIncPaths(round): _*)
+      val committedFrontier = catalog.readTable(spark, snap, "frontier")
+      val newSeen = catalog.readTables(spark, seenIncSnaps(round), "seen_inc")
 
       // ---- bloom maintenance ----
       if (bloom != null && newCount > 0) bloomInsert(newUrlsCached.toDF(), newCount)
 
       // ---- bucketed-seen maintenance: append the committed increment ----
       if (newCount > 0) seenTable.foreach { name =>
-        spark.read.parquet(snap.tables("seen_inc")).select("seed", "url")
+        catalog.readTable(spark, snap, "seen_inc").select("seed", "url")
           .write.format("parquet").mode("append")
           .bucketBy(cfg.seenBuckets, "seed", "url").saveAsTable(name)
       }
@@ -579,7 +582,7 @@ final class CrawlEngine(
       round += 1
     }
 
-    new CrawlRun(spark, ckptDir, seeds, failures, roundsLog, round - 1)
+    new CrawlRun(spark, ckptDir, seeds, failures, roundsLog, round - 1, catalog)
     } finally {
       // the bucketed seen table is a join accelerator, not state: drop it
       // (even on a mid-crawl failure) so crawls never leak warehouse
@@ -596,17 +599,15 @@ final class CrawlRun(
     val seeds: Seq[String],
     val failures: Map[String, String],
     val rounds: Vector[RoundCounters],
-    val lastRound: Int
+    val lastRound: Int,
+    catalog: graft.sources.TableCatalog = TableIO
 ) {
   import org.apache.spark.sql.functions._
 
-  private def resultPaths: Seq[String] =
-    (0 to lastRound).map(r => TableIO.readSnapshot(checkpointDir, r))
-      .flatMap(_.tables.get("results_inc"))
-
   /** All result rows: (seed, url, result_type, status, body, location,
     * content_type, error, internal_links, external_links). */
-  def results: DataFrame = spark.read.parquet(resultPaths: _*)
+  def results: DataFrame = catalog.readTables(spark,
+    (0 to lastRound).map(r => catalog.readSnapshot(checkpointDir, r)), "results_inc")
 
   /** Result of one seed's crawl — the reference CrawlResult (crawler.rs:127-135). */
   def resultFor(seed: String): DataFrame = {

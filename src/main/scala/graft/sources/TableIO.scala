@@ -17,7 +17,7 @@ import scala.jdk.CollectionConverters._
  * only — a job killed mid-write leaves no manifest, so resume restarts from
  * the previous complete round (resume-exactly semantics, SURVEY.md §2.8 St4).
  */
-object TableIO {
+object TableIO extends TableCatalog {
 
   final case class Snapshot(
       round: Int,
@@ -37,15 +37,15 @@ object TableIO {
   /** `counters` is by-name: evaluated AFTER the data writes land (so it can
     * read Observation metrics attached to those writes) and before the
     * manifest commit. */
-  def commit(
+  override def commit(
       spark: SparkSession,
       dir: String,
       round: Int,
       tables: Map[String, DataFrame],
       seeds: Seq[String],
       counters: => Map[String, Long],
-      partitionBy: Map[String, Seq[String]] = Map.empty,
-      failures: Map[String, String] = Map.empty
+      partitionBy: Map[String, Seq[String]],
+      failures: Map[String, String]
   ): Snapshot = {
     Files.createDirectories(Paths.get(dir))
     val paths = tables.map { case (name, df) =>
@@ -77,7 +77,7 @@ object TableIO {
     snap
   }
 
-  def latestRound(dir: String): Option[Int] = {
+  override def latestRound(dir: String): Option[Int] = {
     val d = Paths.get(dir)
     if (!Files.isDirectory(d)) return None
     val rounds = Files.list(d).iterator().asScala
@@ -89,11 +89,15 @@ object TableIO {
     rounds.sorted.lastOption
   }
 
-  def readSnapshot(dir: String, round: Int): Snapshot =
+  override def readSnapshot(dir: String, round: Int): Snapshot =
     parseJson(Files.readString(manifestPath(dir, round)))
 
-  def readTable(spark: SparkSession, snap: Snapshot, name: String): DataFrame =
+  override def readTable(spark: SparkSession, snap: Snapshot, name: String): DataFrame =
     spark.read.parquet(snap.tables(name))
+
+  /** Parquet fast path: one multi-path scan instead of a union of reads. */
+  override def readTables(spark: SparkSession, snaps: Seq[Snapshot], name: String): DataFrame =
+    spark.read.parquet(snaps.flatMap(_.tables.get(name)): _*)
 
   // ---- minimal JSON (flat, controlled keys — no library available) --------
 

@@ -17,6 +17,25 @@ class CrawlApiSpec extends AnyFunSuite {
     assert(e.getMessage == "relative URL without a base")
   }
 
+  test("400 path: ParseError variants reachable from a seed, message text pinned") {
+    // The reference's 400 body is url::ParseError::to_string() verbatim
+    // (api.rs:74 + test :266-277). These are the url-crate 2.2.2 Display
+    // strings (simple_enum_error! table) for every variant a seed string
+    // can trigger — pinned so a UrlKit wording drift fails loudly.
+    val cases = Seq(
+      "garbage" -> "relative URL without a base",
+      "/relative/path" -> "relative URL without a base",
+      "http://" -> "empty host",
+      "http://exa mple.com/" -> "invalid domain character",
+      "http://example.com:99999/" -> "invalid port number",
+      "http://1.2.3.4.5/" -> "invalid IPv4 address",
+      "http://[::1/x" -> "invalid IPv6 address")
+    for ((seed, expected) <- cases) {
+      val e = intercept[IllegalArgumentException] { api.count(seed) }
+      assert(e.getMessage == expected, s"for seed '$seed'")
+    }
+  }
+
   test("crawler error propagates (api.rs:279-289 → 500)") {
     intercept[CrawlEngine.CrawlFailedException] {
       api.crawl(s"${PagesGen.host("robots-failure")}/start")

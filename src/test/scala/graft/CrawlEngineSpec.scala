@@ -343,6 +343,24 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(collectMap(resumed, good) == expectedGood)
   }
 
+  test("catalog swap: the engine runs unchanged on an in-memory TableCatalog") {
+    val seed = "http://127.0.0.1:8000/start"
+    val cat = new graft.sources.InMemoryCatalog
+    val dir = java.nio.file.Files.createTempDirectory("graft-memcat-").toString
+    val run = new CrawlEngine(spark, pages, CrawlConfig(), dir, cat).crawl(seed)
+    val viaMem = collectMap(run, seed)
+    val (parquetRun, viaParquet) = doCrawl(seed)
+    assert(viaMem == viaParquet)
+    assert(run.status == parquetRun.status)
+    // the catalog owned ALL storage: nothing ever landed under the dir
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator().asScala.toList
+    assert(files.isEmpty, s"engine bypassed the catalog: $files")
+    // in-process resume reads the in-memory snapshots
+    val resumed = new CrawlEngine(spark, pages, CrawlConfig(), dir, cat).resume()
+    assert(collectMap(resumed, seed) == viaMem)
+  }
+
   test("robots prefetch is ONE Spark job regardless of seed count (resume path)") {
     // 100 robots urls through the shared batched lookup: a per-seed
     // filter+collect would issue 100 jobs; the isin scan issues exactly one.
