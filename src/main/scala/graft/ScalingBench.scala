@@ -82,6 +82,63 @@ object ScalingBench {
       println(s"""{"metric":"kernel","cpus":$cpus,"n":$n,"sec":${f"$sec%.2f"},""" +
         s""""pages_per_sec":${f"${n / sec}%.1f"},"links":$links,"chars":$chars}""")
 
+    case "dedup" :: cpusStr :: nStr :: Nil =>
+      // Large-scale dedup validation (round-2 VERDICT #3): n docs with
+      // planted near-dup clusters (DocsGen) -> minhashLshPairs ->
+      // nearDupClusters, reporting throughput, recall vs the planted truth
+      // (exact 3-gram jaccard >= 0.5), co-clustering of truth pairs, and
+      // every *_cap observed metric (cap drops must be explained, never
+      // silent). Banding: 64 perms x 32 bands (2 rows/band) so pairs at
+      // jaccard 0.5 are candidates w.p. ~1.
+      val cpus = cpusStr.toInt
+      val n = nStr.toLong
+      val s = Bench.buildSession(cpus, s"graft-dedup-$cpus")
+      import org.apache.spark.sql.functions._
+      val caps = scala.collection.concurrent.TrieMap.empty[String, (Long, Int)]
+      s.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.endsWith("_cap"))
+              caps(name) = (row.getAs[Long]("capped_ids_dropped"), row.getAs[Int]("max_bucket_size"))
+          }
+        override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = {}
+      })
+      val parts = cpus * 4
+      val docs = graft.sources.DocsGen.docs(s, n, parts)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docs.count() // generation excluded from the timed section
+      // warm JIT on a small slice
+      graft.operators.Dedup.minhashLshPairs(docs.limit(2000), threshold = 0.35, bands = 32).count()
+      val t0 = System.nanoTime()
+      val pairs = graft.operators.Dedup.minhashLshPairs(docs, threshold = 0.35, bands = 32)
+      val nPairs = pairs.count()
+      val clusters = graft.operators.Dedup.nearDupClusters(pairs)
+      val nClusters = clusters.filter(col("is_canonical")).count()
+      val nClustered = clusters.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // recall + co-clustering vs the planted truth (untimed: evaluation)
+      val truth = graft.sources.DocsGen.truthPairs(s, n, 0.5, parts)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nTruth = truth.count()
+      val nHit = truth.join(pairs, Seq("id_a", "id_b"), "left_semi").count()
+      val lbl = clusters.select(col("id"), col("cluster_id"))
+      val coclustered = truth
+        .join(lbl.withColumnRenamed("id", "id_a").withColumnRenamed("cluster_id", "c_a"), "id_a")
+        .join(lbl.withColumnRenamed("id", "id_b").withColumnRenamed("cluster_id", "c_b"), "id_b")
+        .filter(col("c_a") === col("c_b")).count()
+      val capsJson = caps.toSeq.sortBy(_._1).map { case (k, (dropped, maxB)) =>
+        s""""$k":{"capped_ids_dropped":$dropped,"max_bucket_size":$maxB}"""
+      }.mkString("{", ",", "}")
+      s.stop()
+      println(
+        s"""{"metric":"dedup_scale","cpus":$cpus,"n":$n,"sec":${f"$sec%.2f"},""" +
+        s""""docs_per_sec":${f"${n / sec}%.1f"},"pairs":$nPairs,"clusters":$nClusters,""" +
+        s""""clustered_docs":$nClustered,"truth_pairs":$nTruth,"truth_found":$nHit,""" +
+        s""""recall":${f"${nHit.toDouble / math.max(1, nTruth)}%.4f"},""" +
+        s""""truth_coclustered":$coclustered,""" +
+        s""""coclustered_frac":${f"${coclustered.toDouble / math.max(1, nTruth)}%.4f"},""" +
+        s""""caps":$capsJson}""")
+
     case "control" :: threadsStr :: rest if rest.size <= 1 =>
       // Pure-JVM control: the tokenizer kernel across a thread pool —
       // measures THIS VM's thread-scaling ceiling so the crawl's scaling can
@@ -118,7 +175,7 @@ object ScalingBench {
       println(s"""{"metric":"control","threads":$threads,"sec":${f"$sec%.2f"},"docs":$docs,"docs_per_sec":${f"${docs / sec}%.1f"},"docs_per_sec_per_thread":${f"${docs / sec / threads}%.1f"}}""")
 
     case _ =>
-      System.err.println("usage: ScalingBench gen <n> | ScalingBench run <cpus> <n> | ScalingBench control <threads>")
+      System.err.println("usage: ScalingBench gen <n> | run <cpus> <n> | kernel <cpus> <n> | dedup <cpus> <n> | control <threads> [nDocs]")
       sys.exit(2)
   }
 }
