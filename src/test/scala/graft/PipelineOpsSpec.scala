@@ -122,6 +122,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(cc.size == 41 && cc.values.forall(_ == 100L))
   }
 
+  test("planted-corpus dedup validation: DocsGen truth recovered by minhash+LSH+CC") {
+    import graft.sources.DocsGen
+    // deterministic generator: same id → same text, mutants differ from base
+    assert(DocsGen.text(40L) == DocsGen.text(40L))
+    assert(DocsGen.text(40L) != DocsGen.text(41L))
+    val n = 2000L
+    val docs = DocsGen.docs(spark, n, 8).cache()
+    assert(docs.count() == n)
+    val truth = DocsGen.truthPairs(spark, n, 0.5, 8).cache()
+    val nTruth = truth.count()
+    assert(nTruth > 100, s"expected a substantial planted truth set, got $nTruth")
+    // the same pipeline the 1M validation run uses (ScalingBench dedup mode)
+    val pairs = Dedup.minhashLshPairs(docs, threshold = 0.35, bands = 32).cache()
+    val nHit = truth.join(pairs, Seq("id_a", "id_b"), "left_semi").count()
+    assert(nHit.toDouble / nTruth >= 0.9, s"recall ${nHit.toDouble / nTruth} below 0.9")
+    // clustering groups every found pair
+    val lbl = Dedup.nearDupClusters(pairs).select($"id", $"cluster_id")
+    val co = truth
+      .join(lbl.withColumnRenamed("id", "id_a").withColumnRenamed("cluster_id", "c_a"), "id_a")
+      .join(lbl.withColumnRenamed("id", "id_b").withColumnRenamed("cluster_id", "c_b"), "id_b")
+      .filter($"c_a" === $"c_b").count()
+    assert(co >= nHit) // CC can only add transitive reach, never lose a found pair
+    docs.unpersist(); truth.unpersist(); pairs.unpersist()
+  }
+
   test("LSH bucket cap emits the capped_ids_dropped metric (never silent)") {
     import org.apache.spark.sql.execution.QueryExecution
     import org.apache.spark.sql.util.QueryExecutionListener
