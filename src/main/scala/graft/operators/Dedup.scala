@@ -142,18 +142,54 @@ object Dedup {
   }
 
   /**
-   * EXACT word-k-gram Jaccard join, threshold-adaptive: dispatches to the
-   * PPJoin-filtered variant when the threshold is high enough for prefixes
-   * to pay (measured crossover ~0.7 on the sf corpora — below it the
-   * prefix keeps most grams and the ranking overhead loses to the naive
-   * inverted-index join; above it the candidate space collapses).
-   * Both variants produce identical output (spec-tested + oracle-proven).
+   * EXACT word-k-gram Jaccard join, regime-adaptive. Two signals pick the
+   * physical variant (both variants produce identical output — spec- and
+   * oracle-proven):
+   *
+   *  - THRESHOLD: at t ≥ `prefixCrossover` (measured ~0.7) prefixes are
+   *    short enough that the PPJoin path wins even on clean corpora.
+   *  - SKEW: below the crossover, one cheap aggregation over the (cached)
+   *    gram index measures Σdf²/Σdf — the expected intermediate join rows
+   *    PER gram row of the naive inverted-index self-join. Clean corpora
+   *    sit near 1; a boilerplate-heavy corpus (shared headers → grams
+   *    with df ≈ n) explodes it (measured ~2000 at 5k docs with a 32-word
+   *    shared header — where naive runs 26-30× slower). Above `skewRatio`
+   *    the prefix path is chosen even at low thresholds, because hot
+   *    grams drop out of every prefix regardless of t. This is the 100 TB
+   *    default: real web corpora ARE boilerplate-heavy.
+   *
+   * The gram index is built and cached ONCE here and shared with the
+   * chosen variant (the probe never re-tokenizes the corpus).
    */
   def ngramJaccard(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                    k: Int = 3, threshold: Double = 0.5,
-                   prefixCrossover: Double = 0.7): DataFrame =
-    if (threshold >= prefixCrossover) ngramJaccardPrefixJoin(docs, textCol, idCol, k, threshold)
-    else ngramJaccardAllPairs(docs, textCol, idCol, k, threshold)
+                   prefixCrossover: Double = 0.7, skewRatio: Double = 16.0): DataFrame = {
+    if (threshold >= prefixCrossover)
+      return ngramJaccardPrefixJoin(docs, textCol, idCol, k, threshold)
+    val grams = hashedGrams(docs, textCol, idCol, k).persist(CacheLvl)
+    try {
+      if (skewRatioOf(grams) > skewRatio) prefixJoinOnGrams(grams, threshold)
+      else allPairsOnGrams(grams, threshold, Int.MaxValue)
+    } finally grams.unpersist()
+  }
+
+  /** Σdf²/Σdf over a gram index — expected naive-join intermediate rows
+    * per gram row (the dispatch probe; exposed for tests). */
+  private def skewRatioOf(grams: DataFrame): Double = {
+    val probe = grams.groupBy("gh").agg(count(lit(1)).as("df"))
+      .agg(sum(col("df")).as("total"),
+        sum(col("df").cast("double") * col("df")).as("sq")) // double: df² overflows long at 10^10
+      .head()
+    val total = if (probe.isNullAt(0)) 0L else probe.getLong(0)
+    if (total == 0L) 0.0 else probe.getDouble(1) / total
+  }
+
+  /** The dispatch probe over a docs table (for tests/diagnostics). */
+  private[graft] def ngramSkewRatio(docs: DataFrame, textCol: String = "text",
+                                    idCol: String = "doc_id", k: Int = 3): Double = {
+    val grams = hashedGrams(docs, textCol, idCol, k).persist(CacheLvl)
+    try skewRatioOf(grams) finally grams.unpersist()
+  }
 
   /**
    * EXACT word-k-gram Jaccard similarity join over all pairs sharing at
@@ -173,6 +209,12 @@ object Dedup {
                            k: Int = 3, threshold: Double = 0.5,
                            maxDf: Int = Int.MaxValue): DataFrame = {
     val grams = hashedGrams(docs, textCol, idCol, k).persist(CacheLvl)
+    try allPairsOnGrams(grams, threshold, maxDf) finally grams.unpersist()
+  }
+
+  /** Naive inverted-index join over an already-cached gram index; returns
+    * an eagerly-materialized result (caller owns the grams cache). */
+  private def allPairsOnGrams(grams: DataFrame, threshold: Double, maxDf: Int): DataFrame = {
     val filtered =
       if (maxDf == Int.MaxValue) grams
       else {
@@ -194,7 +236,7 @@ object Dedup {
       .withColumn("jaccard", col("i").cast("double") / (col("sz_a") + col("sz_b") - col("i")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-    materialized(out) { grams.unpersist() }
+    out.localCheckpoint(true)
   }
 
   /**
@@ -224,8 +266,14 @@ object Dedup {
    */
   def ngramJaccardPrefixJoin(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                              k: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val eps = 1e-9
     val grams = hashedGrams(docs, textCol, idCol, k).persist(CacheLvl)
+    try prefixJoinOnGrams(grams, threshold) finally grams.unpersist()
+  }
+
+  /** PPJoin-filtered join over an already-cached gram index; returns an
+    * eagerly-materialized result (caller owns the grams cache). */
+  private def prefixJoinOnGrams(grams: DataFrame, threshold: Double): DataFrame = {
+    val eps = 1e-9
     val dfCounts = grams.groupBy("gh").agg(count(lit(1)).as("df"))
     val sizes = grams.groupBy("id").agg(count(lit(1)).as("sz"))
     // global order: rarest gram first (df, then hash for determinism);
@@ -267,7 +315,7 @@ object Dedup {
       .withColumn("jaccard", col("i").cast("double") / (col("sz_a") + col("sz_b") - col("i")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-    materialized(out) { grams.unpersist() }
+    out.localCheckpoint(true)
   }
 
   /** n-gram Jaccard similarity for given candidate pairs (exact verify step). */

@@ -99,6 +99,11 @@ class PipelineOpsSpec extends AnyFunSuite {
       (i, s"shared boilerplate header text unique body $i with words ${i * 7}")).toDF("doc_id", "text")
     val pairs = Dedup.ngramJaccardPrefixJoin(boiler, threshold = 0.9).collect()
     assert(pairs.isEmpty) // no pair is actually >= 0.9
+    // the dispatch probe (Σdf²/Σdf) separates the regimes: a clean corpus
+    // sits near 1 (→ naive below the threshold crossover), a shared-header
+    // corpus explodes (→ PPJoin path even at low thresholds)
+    assert(Dedup.ngramSkewRatio(docs) < 16.0)
+    assert(Dedup.ngramSkewRatio(boiler) > 16.0)
   }
 
   test("near-dup clusters: min-label propagation finds the planted components") {

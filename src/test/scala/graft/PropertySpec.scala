@@ -94,4 +94,45 @@ class PropertySpec extends AnyFunSuite {
       assert(rebuilt == h)
     }
   }
+
+  test("property: PPJoin filter stack and adaptive dispatch are lossless vs a local reference") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.operators.Dedup
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val docGen = Gen.chooseNum(3, 30).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab))).map(_.mkString(" "))
+    val corpusGen = for {
+      nDocs <- Gen.chooseNum(2, 20)
+      docs <- Gen.listOfN(nDocs, docGen)
+      t <- Gen.oneOf(0.1, 0.3, 0.5, 0.75, 0.9)
+    } yield (docs, t)
+    def gramsOf(str: String): Set[String] = {
+      val toks = TextKit.wsTokens(str)
+      if (toks.isEmpty) Set.empty
+      else if (toks.length < 3) Set(toks.mkString(" "))
+      else (0 to toks.length - 3).map(i => toks.slice(i, i + 3).mkString(" ")).toSet
+    }
+    forAll(corpusGen, n = 8) { case (docs, t) =>
+      val df = docs.zipWithIndex.map { case (str, i) => (i.toLong, str) }.toDF("doc_id", "text")
+      // independent local all-pairs reference over distinct gram STRINGS
+      val expected = (for {
+        i <- docs.indices
+        j <- docs.indices
+        if i < j
+        ga = gramsOf(docs(i))
+        gb = gramsOf(docs(j))
+        if ga.nonEmpty && gb.nonEmpty
+        inter = ga.intersect(gb).size
+        jac = inter.toDouble / (ga.size + gb.size - inter)
+        if jac >= t
+      } yield (i.toLong, j.toLong, math.round(jac * 1e9))).toSet
+      val viaPrefix = Dedup.ngramJaccardPrefixJoin(df, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSet
+      assert(viaPrefix == expected, s"prefix join diverged: t=$t docs=$docs")
+      val viaAdaptive = Dedup.ngramJaccard(df, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSet
+      assert(viaAdaptive == expected, s"adaptive dispatch diverged: t=$t docs=$docs")
+    }
+  }
 }
