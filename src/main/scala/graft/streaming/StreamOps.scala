@@ -76,6 +76,35 @@ object StreamOps {
       }
   }
 
+  // ---- streaming ingestion dedup + quality gate -------------------------------
+
+  /**
+   * Continuous training-data ingestion: the streaming composition of the
+   * batch pipeline (quality gate → exact content dedup). Stateless quality
+   * scoring + token counting run per row; duplicates are suppressed by
+   * content hash via `dropDuplicatesWithinWatermark` — exactly-once per
+   * content WITHIN the watermark horizon, with state EVICTED as the
+   * watermark advances (bounded state at 10^10-doc streams; a re-dup
+   * arriving after eviction re-emits, the documented tradeoff of bounded
+   * streaming dedup — the batch `Dedup.exact` pass is the terminal
+   * authority). Input: streaming frame with (idCol, ts, textCol).
+   * Output: (idCol, ts, content_hash, n_tokens, quality_score) of
+   * first-seen, quality-passing docs.
+   */
+  def ingestDedupStream(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                        minQuality: Double = 0.3, lateness: String = "1 hour"): DataFrame = {
+    val qualityUdf = udf((s: String) => graft.textkit.TextKit.quality(Option(s).getOrElse("")))
+    docs
+      .withWatermark("ts", lateness)
+      .withColumn("q", qualityUdf(col(textCol)))
+      .withColumn("quality_score", col("q.score"))
+      .withColumn("n_tokens", col("q.nTokens"))
+      .filter(col("quality_score") >= minQuality)
+      .withColumn("content_hash", md5(col(textCol)))
+      .dropDuplicatesWithinWatermark("content_hash")
+      .select(col(idCol), col("ts"), col("content_hash"), col("n_tokens"), col("quality_score"))
+  }
+
   // ---- live crawl monitoring ------------------------------------------------
 
   /** Schema of the engine's committed result increments (CrawlEngine

@@ -107,4 +107,35 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(streamed.values.sum == 6) // collected_things: 6 result rows
   }
+
+  test("ingestDedupStream: quality gate + cross-batch content dedup with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val good1 = "The quick brown fox jumps over the lazy dog and it was a fine day in the park."
+    val good2 = "They went to the market and bought fresh bread with butter for the morning meal."
+    val junk = "@@@@ #### !!!! %%%% ^^^^ &&&&"
+    val q = StreamOps.ingestDedupStream(
+        input.toDF().toDF("doc_id", "ts", "text"), minQuality = 0.3, lateness = "1 hour")
+      .writeStream.format("memory").queryName("ingest_out").outputMode("append").start()
+    try {
+      // batch 1: two distinct good docs + one junk doc (quality-gated out)
+      input.addData((1L, ts(0), good1), (2L, ts(1), good2), (3L, ts(2), junk))
+      q.processAllAvailable()
+      // batch 2: a DUPLICATE of good1 under a new id (suppressed across
+      // batches — streaming state carries the seen hash) + one new doc
+      input.addData((4L, ts(3), good1), (5L, ts(4), good2 + " extra"))
+      q.processAllAvailable()
+      val rows = spark.table("ingest_out").collect()
+      val ids = rows.map(_.getAs[Long]("doc_id")).toSet
+      assert(ids == Set(1L, 2L, 5L), s"got $ids")
+      // emitted metadata matches the batch kernels
+      val r1 = rows.find(_.getAs[Long]("doc_id") == 1L).get
+      val k = graft.textkit.TextKit.quality(good1)
+      assert(r1.getAs[Int]("n_tokens") == k.nTokens)
+      assert(math.abs(r1.getAs[Double]("quality_score") - k.score) < 1e-12)
+      // the dedup key is the md5 the batch pipeline uses
+      assert(rows.map(_.getAs[String]("content_hash")).distinct.length == 3)
+    } finally q.stop()
+  }
 }
