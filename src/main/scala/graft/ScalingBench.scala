@@ -107,8 +107,10 @@ object ScalingBench {
       val docs = graft.sources.DocsGen.docs(s, n, parts)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       docs.count() // generation excluded from the timed section
-      // warm JIT on a small slice
+      // warm JIT on a small slice; drop its cap metrics so the report
+      // below can only contain the TIMED run's
       graft.operators.Dedup.minhashLshPairs(docs.limit(2000), threshold = 0.35, bands = 32).count()
+      caps.clear()
       val t0 = System.nanoTime()
       val pairs = graft.operators.Dedup.minhashLshPairs(docs, threshold = 0.35, bands = 32)
       val nPairs = pairs.count()
@@ -126,6 +128,10 @@ object ScalingBench {
         .join(lbl.withColumnRenamed("id", "id_a").withColumnRenamed("cluster_id", "c_a"), "id_a")
         .join(lbl.withColumnRenamed("id", "id_b").withColumnRenamed("cluster_id", "c_b"), "id_b")
         .filter(col("c_a") === col("c_b")).count()
+      // listener delivery is async — wait for the timed run's cap event
+      // before reporting (a missing metric must never read as "no drops")
+      val capDeadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (caps.isEmpty && System.nanoTime() < capDeadline) Thread.sleep(50)
       val capsJson = caps.toSeq.sortBy(_._1).map { case (k, (dropped, maxB)) =>
         s""""$k":{"capped_ids_dropped":$dropped,"max_bucket_size":$maxB}"""
       }.mkString("{", ",", "}")

@@ -49,9 +49,17 @@ object SparkEntry {
   // (and re-queries) join the precomputed cell assignment; no KMeans fit
   // ever appears in a query plan (round-2 VERDICT weak #2)
   private val ivfCache = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Similarity.IvfIndex]
-  private def ivfIndex(s: SparkSession, dir: String): Similarity.IvfIndex =
+  private def ivfIndex(s: SparkSession, dir: String): Similarity.IvfIndex = {
+    // evict indices pinned to stopped sessions so a long-lived JVM running
+    // many sessions doesn't accumulate dead assignments/broadcasts
+    ivfCache.filterInPlace { case ((sess, _), idx) =>
+      val live = !sess.sparkContext.isStopped
+      if (!live) try idx.close() catch { case _: Exception => () } // ctx gone: best-effort
+      live
+    }
     ivfCache.getOrElseUpdate((s, dir),
       Similarity.ivfFit(s.read.parquet(s"$dir/embeddings.parquet"), nlist = 32))
+  }
 
   private def view(s: SparkSession, dir: String, names: String*): Unit =
     names.foreach(n => s.read.parquet(s"$dir/$n.parquet").createOrReplaceTempView(n))

@@ -134,8 +134,13 @@ object UrlExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "url_host_port_native", exprs => UrlHostPort(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "host_shard_native", exprs =>
-        HostShard(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+      "host_shard_native", { exprs =>
+        require(exprs.length == 2,
+          s"host_shard_native(host, numShards) takes 2 arguments, got ${exprs.length}")
+        require(exprs(1).foldable,
+          "host_shard_native: numShards must be a literal (the shard count is a plan-time constant)")
+        HostShard(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())
+      }, "built-in")
   }
 
   def url_strip_fragment_native(c: Column): Column =

@@ -327,7 +327,10 @@ final class CrawlEngine(
     // also covers resume), appended after each commit. The parquet
     // increments stay the durable source of truth; the table is a join
     // accelerator, exactly what an Iceberg bucket spec gives for free.
-    val seenTable: Option[String] =
+    var seenTable: Option[String] = None
+    def seenForJoin: DataFrame = seenTable.map(spark.table).getOrElse(seen)
+    try {
+    seenTable =
       if (cfg.seenBuckets <= 0) None
       else {
         // name from a SHA-1 of the checkpoint dir: engines on distinct
@@ -357,8 +360,6 @@ final class CrawlEngine(
           .bucketBy(cfg.seenBuckets, "seed", "url").saveAsTable(name)
         Some(name)
       }
-    def seenForJoin: DataFrame = seenTable.map(spark.table).getOrElse(seen)
-    try {
 
     // Cumulative Bloom over (seed, url) keys, rebuilt from seen on entry.
     // Two maintenance paths, gated by cfg.bloomDistributedMinRows:
@@ -585,9 +586,14 @@ final class CrawlEngine(
     new CrawlRun(spark, ckptDir, seeds, failures, roundsLog, round - 1, catalog)
     } finally {
       // the bucketed seen table is a join accelerator, not state: drop it
-      // (even on a mid-crawl failure) so crawls never leak warehouse
-      // tables — resume rebuilds it from the committed increments
-      seenTable.foreach(name => spark.sql(s"DROP TABLE IF EXISTS $name"))
+      // (even on a mid-crawl failure, including one during its own build)
+      // so crawls never leak warehouse tables — resume rebuilds it from
+      // the committed increments. The drop itself must never mask the
+      // real failure (e.g. the SparkContext died mid-crawl).
+      try seenTable.foreach(name => spark.sql(s"DROP TABLE IF EXISTS $name"))
+      catch { case e: Exception =>
+        System.err.println(s"[crawl] seen-table cleanup failed (ignored): $e")
+      }
     }
   }
 }

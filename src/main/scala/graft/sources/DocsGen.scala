@@ -37,7 +37,8 @@ object DocsGen {
       val nRepl = 4 * off
       var j = 0
       while (j < nRepl) {
-        val pos = (math.abs(TextKit.mix64(block ^ (off * 1000003L + j))) % docWords).toInt
+        // floorMod: math.abs(Long.MinValue) is still negative
+        val pos = java.lang.Math.floorMod(TextKit.mix64(block ^ (off * 1000003L + j)), docWords.toLong).toInt
         w(pos) = word(block * 131L + 997L + off * 59L + j)
         j += 1
       }

@@ -38,10 +38,12 @@ trait TableCatalog {
   /** One table unioned across snapshots (e.g. the cumulative seen set from
     * every round's increment). Implementations may override with a single
     * multi-path scan. */
-  def readTables(spark: SparkSession, snaps: Seq[Snapshot], name: String): DataFrame =
-    snaps.filter(_.tables.contains(name))
-      .map(s => readTable(spark, s, name))
-      .reduce(_ unionByName _)
+  def readTables(spark: SparkSession, snaps: Seq[Snapshot], name: String): DataFrame = {
+    val present = snaps.filter(_.tables.contains(name))
+    require(present.nonEmpty,
+      s"table '$name' is present in none of the ${snaps.size} snapshots")
+    present.map(s => readTable(spark, s, name)).reduce(_ unionByName _)
+  }
 }
 
 /**

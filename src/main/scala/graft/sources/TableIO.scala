@@ -96,8 +96,12 @@ object TableIO extends TableCatalog {
     spark.read.parquet(snap.tables(name))
 
   /** Parquet fast path: one multi-path scan instead of a union of reads. */
-  override def readTables(spark: SparkSession, snaps: Seq[Snapshot], name: String): DataFrame =
-    spark.read.parquet(snaps.flatMap(_.tables.get(name)): _*)
+  override def readTables(spark: SparkSession, snaps: Seq[Snapshot], name: String): DataFrame = {
+    val paths = snaps.flatMap(_.tables.get(name))
+    require(paths.nonEmpty,
+      s"table '$name' is present in none of the ${snaps.size} snapshots")
+    spark.read.parquet(paths: _*)
+  }
 
   // ---- minimal JSON (flat, controlled keys — no library available) --------
 

@@ -23,9 +23,13 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # %.9g: relative (not fixed-decimal) precision, and -0.0 + 0.0
-        # normalizes the signed zero (round-2 ADVICE)
-        return "%.9g" % (v + 0.0 if v != 0.0 else 0.0)
+        x = v + 0.0  # normalizes -0.0 (round-2 ADVICE)
+        if x == int(x) and abs(x) < 2**53:
+            return repr(int(x))  # integral doubles compare exactly
+        # relative precision for the rest: every float column the queries
+        # emit is pre-rounded (round(.,2)/(.,4)), so 12 significant digits
+        # is pure tolerance, not blindness
+        return "%.12g" % x
     return str(v)
 
 
