@@ -490,6 +490,40 @@ object SparkEntry {
        |WHERE cc.id IS NULL OR cc.cluster_id = s.doc_id
        |ORDER BY s.doc_id""".stripMargin
 
+  /** corpus-level duplicate-gram ratio: fraction of a doc's distinct
+    * 3-grams occurring in >= 2 docs (same gram CTE as the jaccard oracle). */
+  private val dupNgramRatioSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, CASE WHEN trim(text)='' THEN [] ELSE string_split_regex(trim(text),'\\s+') END AS t
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, g FROM (
+       |    SELECT doc_id,
+       |      CASE WHEN len(t) = 0 THEN []
+       |           WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       |           ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')) END AS gs
+       |    FROM toks), UNNEST(gs) AS u(g)
+       |  GROUP BY doc_id, g),
+       |dfc AS (SELECT g, count(*) AS df FROM grams GROUP BY g)
+       |SELECT doc_id, count(*) AS n_grams,
+       |  round(CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_ngram_ratio
+       |FROM grams JOIN dfc USING (g)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** intra-doc repetition: 1 - distinct/total word bigrams. */
+  private val repetitionRatioSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, CASE WHEN trim(text)='' THEN [] ELSE string_split_regex(trim(text),'\\s+') END AS tk
+       |  FROM documents),
+       |b AS (SELECT doc_id,
+       |  CASE WHEN len(tk) < 2 THEN []
+       |       ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) END AS bg
+       |  FROM t)
+       |SELECT doc_id, len(bg) AS n_bigrams,
+       |  round(CASE WHEN len(bg) = 0 THEN 0.0
+       |             ELSE 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) END, 4) AS repetition_ratio
+       |FROM b ORDER BY doc_id""".stripMargin
+
   private val annLshRecallSql = {
     val rows = (0 until 10).map(i => s"(CAST($i AS BIGINT), true)").mkString(", ")
     s"SELECT * FROM (VALUES $rows) AS t(query_id, recall_ok) ORDER BY query_id"
@@ -720,6 +754,14 @@ object SparkEntry {
         .orderBy("doc_id")),
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(s.read.parquet(s"$dir/documents.parquet")).orderBy("doc_id")),
+    "text_dup_ngram_ratio" -> ((s, dir) =>
+      TextAnalysis.dupNgramRatio(s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), col("n_grams"), round(col("dup_ngram_ratio"), 4).as("dup_ngram_ratio"))
+        .orderBy("doc_id")),
+    "text_repetition_ratio" -> ((s, dir) =>
+      TextAnalysis.repetitionRatio(s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), col("n_bigrams"), round(col("repetition_ratio"), 4).as("repetition_ratio"))
+        .orderBy("doc_id")),
 
     // ---- multimodal plumbing ----
     "multimodal_meta" -> ((s, dir) =>
@@ -831,6 +873,8 @@ object SparkEntry {
     "text_quality" -> qualitySql,
     "text_lang_id" -> langIdSql,
     "text_fingerprint" -> fingerprintSql,
+    "text_dup_ngram_ratio" -> dupNgramRatioSql,
+    "text_repetition_ratio" -> repetitionRatioSql,
     "text_tokens" ->
       """SELECT doc_id,
         |       CASE WHEN trim(text) = '' THEN 0

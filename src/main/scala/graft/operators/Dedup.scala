@@ -130,7 +130,7 @@ object Dedup {
     * both exact joins so the tokenization/fallback semantics (which the
     * DuckDB oracles and TextKit.shingleHashes mirror) live in one place.
     * NOT persisted here — callers cache and release it (round-2 ADVICE). */
-  private def hashedGrams(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+  private[operators] def hashedGrams(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
     val gramsUdf = udf { (text: String) =>
       val toks = TextKit.wsTokens(Option(text).getOrElse(""))
       if (toks.isEmpty) Array.empty[String]

@@ -42,4 +42,45 @@ object TextAnalysis {
   /** (id, fingerprint) — rolling hash of normalized text. */
   def fingerprints(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     docs.select(col(idCol), fingerprintUdf(col(textCol)).as("fingerprint"))
+
+  /**
+   * CORPUS-level duplication signal (the C4/RefinedWeb-style filter): per
+   * doc, the fraction of its distinct word-k-grams that also occur in at
+   * least one OTHER document. Shares Dedup's gram kernel (row-local
+   * hashing, then one df aggregation + one doc-keyed aggregation — two
+   * hash shuffles total at any corpus size). Docs with no grams (empty
+   * text) are absent, matching the SQL oracle.
+   * Returns (id, n_grams, dup_ngram_ratio).
+   */
+  def dupNgramRatio(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                    k: Int = 3): DataFrame = {
+    val grams = Dedup.hashedGrams(docs, textCol, idCol, k)
+    val dfCounts = grams.groupBy("gh").agg(count(lit(1)).as("df"))
+    grams.join(dfCounts, "gh")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        (sum(when(col("df") > 1, 1).otherwise(0)).cast("double") / count(lit(1)))
+          .as("dup_ngram_ratio"))
+  }
+
+  /**
+   * INTRA-doc repetition signal: 1 − distinct/total word bigrams — high
+   * for degenerate repeated text (a standard LM-corpus quality cut).
+   * Fully declarative (sequence/transform/array_distinct — codegen'd, no
+   * UDF); docs with < 2 tokens score 0. Returns (id, n_bigrams,
+   * repetition_ratio).
+   */
+  def repetitionRatio(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = when(length(trim(col(textCol))) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(col(textCol)), "\\s+"))
+    docs.select(col(idCol), toks.as("t"))
+      .withColumn("bigrams",
+        when(size(col("t")) < 2, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(0), size(col("t")) - 2),
+            i => concat_ws(" ", element_at(col("t"), i + 1), element_at(col("t"), i + 2)))))
+      .select(col(idCol), size(col("bigrams")).as("n_bigrams"),
+        when(size(col("bigrams")) === 0, lit(0.0))
+          .otherwise(lit(1.0) - size(array_distinct(col("bigrams"))).cast("double") / size(col("bigrams")))
+          .as("repetition_ratio"))
+  }
 }

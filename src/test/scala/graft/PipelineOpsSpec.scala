@@ -340,6 +340,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(fps == docs.count()) // all texts distinct → all fingerprints distinct
   }
 
+  test("dup-ngram ratio (corpus) and repetition ratio (intra-doc) quality signals") {
+    // crafted: docs 0/1 identical → every gram duplicated; doc 5 unique → 0
+    val dup = TextAnalysis.dupNgramRatio(crafted).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dup_ngram_ratio")).toMap
+    assert(dup(0L) == 1.0 && dup(1L) == 1.0)
+    assert(dup(5L) == 0.0)
+    assert(dup(2L) > 0.5) // near-dup of 0/1 shares most grams
+    // repetition: degenerate repeated text scores high, normal prose 0
+    val repRows = TextAnalysis.repetitionRatio(Seq(
+      (0L, "spam spam spam spam"),
+      (1L, "the quick brown fox jumps"),
+      (2L, ""), (3L, "one")).toDF("doc_id", "text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Int]("n_bigrams"), r.getAs[Double]("repetition_ratio"))).toMap
+    assert(repRows(0L) == ((3, 1.0 - 1.0 / 3)))
+    assert(repRows(1L) == ((4, 0.0)))
+    assert(repRows(2L) == ((0, 0.0)))
+    assert(repRows(3L) == ((0, 0.0)))
+  }
+
   test("multimodal: synthesize → decode → resize → frame-sample plumbing") {
     val media = Multimodal.synthesize(docs.limit(30)).cache()
     val meta = Multimodal.decodeMeta(media).collect()
