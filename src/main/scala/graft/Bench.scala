@@ -114,7 +114,8 @@ object Bench {
       "dedup_exact", "dedup_minhash_pairs", "dedup_ngram_jaccard", "dedup_ngram_jaccard_t08",
       "dedup_simhash_pairs",
       "ann_topk_brute", "ann_topk_lsh", "ann_topk_ivf",
-      "text_quality", "text_lang_id", "text_fingerprint", "multimodal_meta")
+      "text_quality", "text_lang_id", "text_fingerprint",
+      "text_dup_ngram_ratio", "text_repetition_ratio", "multimodal_meta")
 
     // untimed warmup: JIT + codegen + parquet footers, so the first timed
     // query measures the engine, not JVM cold start. The IVF fit also runs
