@@ -74,7 +74,14 @@ final case class CrawlConfig(
     /** host-hash shards for frontier partition lineage (north rule) */
     numShards: Int = 32,
     /** salt buckets splitting a skewed host inside the politeness window */
-    saltBuckets: Int = 4
+    saltBuckets: Int = 4,
+    /** optional SQL expression over the frontier columns (seed, url, host,
+      * depth) scored DESCENDING ahead of the default (depth, url) order in
+      * the politeness priority window — the north-star "window rank over
+      * depth/score within host partitions". Only observable under a
+      * politeness budget (without one every frontier row is fetched this
+      * round anyway). Example: "1.0 / (depth + 1)" or "-char_length(url)". */
+    priorityScore: Option[String] = None
 )
 
 final case class RoundCounters(
@@ -420,9 +427,13 @@ final class CrawlEngine(
             .withColumn("_bb", when(col("_salt") === 0,
               b - (saltCount - 1) * (b.cast("long") / saltCount).cast("int"))
               .otherwise((b.cast("long") / saltCount).cast("int")))
+          // priority queue: optional score expression ranks first (desc),
+          // then the BFS default (shallowest depth, then url) breaks ties
+          val order = cfg.priorityScore.map(e => expr(e).desc).toSeq ++
+            Seq(col("depth").asc, col("url").asc)
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy(col("seed"), col("host"), col("_salt"))
-            .orderBy(col("depth"), col("url"))
+            .orderBy(order: _*)
           val ranked = salted.withColumn("_rk", row_number().over(w))
           val now = ranked.filter(col("_rk") <= col("_bb")).drop("_rk", "_salt", "_bb")
           val later = ranked.filter(col("_rk") > col("_bb")).drop("_rk", "_salt", "_bb")

@@ -278,6 +278,28 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(run.status.length == 3)              // one extra round paid
   }
 
+  test("priority score reorders fetches within the politeness budget, same final set") {
+    val h = PagesGen.host("multi-links")
+    val seed = s"$h/start"
+    // budget 1/host/round: round 2 fetches exactly one of link1/link2
+    def fetchedInRound2(cfg: CrawlConfig): Set[String] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-prio-").toString
+      val run = new CrawlEngine(spark, pages, cfg, dir).crawl(seed)
+      val r2 = graft.sources.TableIO.readSnapshot(dir, 2)
+      val urls = spark.read.parquet(r2.tables("results_inc"))
+        .filter(col("result_type") =!= "ExcludedByRobotsTxt")
+        .select("url").collect().map(_.getString(0)).toSet
+      assert(collectMap(run, seed).keySet == Set(seed, s"$h/link1", s"$h/link2"))
+      urls
+    }
+    // default order: shallowest depth then url asc → link1 first
+    assert(fetchedInRound2(CrawlConfig(perHostBudgetPerRound = 1)) == Set(s"$h/link1"))
+    // score expression flips the order: rank url descending → link2 first;
+    // the FINAL crawl set is unchanged (priority affects scheduling only)
+    assert(fetchedInRound2(CrawlConfig(perHostBudgetPerRound = 1,
+      priorityScore = Some("url"))) == Set(s"$h/link2"))
+  }
+
   test("politeness: robots Crawl-delay shrinks the budget") {
     val h = PagesGen.host("politeness")
     // crawl-delay 10s, round represents 10s → budget 1 fetch/host/round
