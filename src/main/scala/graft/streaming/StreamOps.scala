@@ -105,6 +105,64 @@ object StreamOps {
       .select(col(idCol), col("ts"), col("content_hash"), col("n_tokens"), col("quality_score"))
   }
 
+  /**
+   * STREAMING minhash near-dup pairs — the continuous counterpart of
+   * `Dedup.minhashLshPairs`: signatures are computed per row (stateless),
+   * rows are keyed by LSH (band, band_hash) bucket, and per-bucket custom
+   * state (`flatMapGroupsWithState`) holds the bucket's previously seen
+   * (id, signature) members. A new arrival emits a verified pair against
+   * each stored member with estimated Jaccard ≥ threshold — so a near-dup
+   * of something seen in an EARLIER micro-batch is caught the moment it
+   * arrives. Bounded state: each bucket keeps at most `maxBucket` members
+   * (FIFO eviction — same cap the batch operator applies, so a degenerate
+   * boilerplate bucket cannot grow without bound); a pair sharing several
+   * buckets is emitted once per bucket, so consumers dedupe on
+   * (id_a, id_b) — exactly what the batch operator's `distinct` does.
+   */
+  final case class DocSig(id: Long, sig: Seq[Long])
+  final case class BucketState(docs: Seq[DocSig])
+  final case class StreamPair(id_a: Long, id_b: Long, est_jaccard: Double)
+
+  def minhashPairsStream(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                         k: Int = 3, numPerms: Int = 64, bands: Int = 16,
+                         threshold: Double = 0.5, maxBucket: Int = 64): Dataset[StreamPair] = {
+    import docs.sparkSession.implicits._
+    implicit val stateEnc = Encoders.product[BucketState]
+    implicit val outEnc = Encoders.product[StreamPair]
+    val sigUdf = udf { (text: String) =>
+      graft.textkit.TextKit.minhash(
+        graft.textkit.TextKit.shingleHashes(Option(text).getOrElse(""), k), numPerms)
+    }
+    val bandsUdf = udf { (sig: Seq[Long]) =>
+      graft.textkit.TextKit.lshBands(sig.toArray, bands).zipWithIndex
+        .map { case (h, i) => (i, h) }
+    }
+    docs
+      .select(col(idCol).as("id"), sigUdf(col(textCol)).as("sig"))
+      .select(col("id"), col("sig"), explode(bandsUdf(col("sig"))).as("b"))
+      .select(col("id"), col("sig"), col("b._1").as("band_idx"), col("b._2").as("band_hash"))
+      .as[(Long, Seq[Long], Int, Long)]
+      .groupByKey { case (_, _, bandIdx, bandHash) => (bandIdx, bandHash) }
+      .flatMapGroupsWithState[BucketState, StreamPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[BucketState]) =>
+          var members = state.getOption.map(_.docs).getOrElse(Seq.empty)
+          val out = Vector.newBuilder[StreamPair]
+          rows.foreach { case (id, sig, _, _) =>
+            if (!members.exists(_.id == id)) {
+              members.foreach { m =>
+                val est = graft.textkit.TextKit.minhashSimilarity(m.sig.toArray, sig.toArray)
+                if (est >= threshold)
+                  out += StreamPair(math.min(m.id, id), math.max(m.id, id), est)
+              }
+              members = (members :+ DocSig(id, sig)).takeRight(maxBucket)
+            }
+          }
+          state.update(BucketState(members))
+          out.result().iterator
+      }
+  }
+
   // ---- live crawl monitoring ------------------------------------------------
 
   /** Schema of the engine's committed result increments (CrawlEngine

@@ -138,4 +138,35 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(rows.map(_.getAs[String]("content_hash")).distinct.length == 3)
     } finally q.stop()
   }
+
+  test("minhashPairsStream: cross-batch near-dup pairs equal the batch operator's") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and runs far away tonight"),
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog and runs far away today"),
+      (3L, "a completely different document about spark catalyst optimizer rules"),
+      (4L, "a completely different document about spark catalyst optimizer rules ok"),
+      (5L, "nothing like the others whatsoever just random words here banana"))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.minhashPairsStream(input.toDF().toDF("doc_id", "text"), threshold = 0.5)
+      .writeStream.format("memory").queryName("mh_pairs_out").outputMode("append").start()
+    try {
+      // split across batches: 1 and 4 arrive AFTER their near-dup partners,
+      // so every pair requires bucket state carried between micro-batches
+      input.addData((0L, corpus(0)._2), (2L, corpus(2)._2), (3L, corpus(3)._2), (5L, corpus(5)._2))
+      q.processAllAvailable()
+      input.addData((1L, corpus(1)._2), (4L, corpus(4)._2))
+      q.processAllAvailable()
+      val streamed = spark.table("mh_pairs_out")
+        .select("id_a", "id_b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = graft.operators.Dedup.minhashLshPairs(corpus.toDF("doc_id", "text"), threshold = 0.5)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      assert(streamed.contains((0L, 1L)) && streamed.contains((3L, 4L)))
+    } finally q.stop()
+  }
 }
