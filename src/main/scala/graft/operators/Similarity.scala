@@ -155,6 +155,32 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Persist a fitted index: the codebook and the cell assignment land as
+    * parquet under `path` — at production scale the assignment IS a stored
+    * table column and the codebook a tiny side table; this makes the
+    * fit-once/query-forever split survive across sessions and processes. */
+  def ivfSave(index: IvfIndex, path: String): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.codebook.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    index.assigned.write.mode("overwrite").parquet(s"$path/assigned")
+  }
+
+  /** Load a saved index: the assignment is persisted + materialized (the
+    * same ready-to-join state `ivfFit` leaves behind). */
+  def ivfLoad(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val centers = spark.read.parquet(s"$path/codebook")
+      .collect().sortBy(_.getAs[Int]("cell"))
+      .map(_.getAs[Seq[Double]]("center").toArray)
+    val assigned = spark.read.parquet(s"$path/assigned")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assigned.count()
+    IvfIndex(centers, assigned, spark.sparkContext.broadcast(centers))
+  }
+
   /** One-shot IVF convenience: fit + query + release the index (the result
     * is materialized eagerly so the broadcast/cache never outlive the call
     * — round-2 ADVICE). For repeated query batches use ivfFit + ivfQuery. */

@@ -293,6 +293,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally index.close()
   }
 
+  test("IVF save/load round-trip: a reloaded index answers queries identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-idx-").toString
+    val fitted = Similarity.ivfFit(emb, nlist = 16)
+    val expected =
+      try {
+        Similarity.ivfSave(fitted, dir)
+        Similarity.ivfQuery(fitted, emb.filter($"vec_id" < 10), 5, nprobe = 4)
+          .collect().map(_.toString).sorted.toSeq
+      } finally fitted.close()
+    val loaded = Similarity.ivfLoad(spark, dir)
+    try {
+      assert(loaded.codebook.length == 16)
+      val got = Similarity.ivfQuery(loaded, emb.filter($"vec_id" < 10), 5, nprobe = 4)
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == expected)
+    } finally loaded.close()
+  }
+
   test("language id: deterministic heuristic with real stopword texts") {
     assert(TextKit.langId("the cat sat on the mat and it was happy") == "en")
     assert(TextKit.langId("der Hund ist nicht mit der Katze und sie") == "de")
