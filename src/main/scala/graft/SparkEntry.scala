@@ -524,6 +524,43 @@ object SparkEntry {
        |             ELSE 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) END, 4) AS repetition_ratio
        |FROM b ORDER BY doc_id""".stripMargin
 
+  /** Shared CTE chain for the ExactSubstr oracles: every 10-token window
+    * (by STRING — the oracle needs no hashing), the duplicated ones
+    * (≥2 occurrences corpus-wide, positions count), and the maximal spans
+    * via gaps-and-islands. DuckDB lists are 1-based; emitted offsets are
+    * 0-based to match the Spark operator. */
+  private val substringSpanCtes =
+    """WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\s+') toks FROM documents),
+      |wins AS (
+      |  SELECT doc_id, i AS pos, array_to_string(toks[i:i+9], ' ') AS win
+      |  FROM docs, LATERAL (SELECT unnest(generate_series(1, len(toks)-9)) AS i)
+      |  WHERE len(toks) >= 10),
+      |dup AS (SELECT win FROM wins GROUP BY win HAVING count(*) > 1),
+      |hits AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |         FROM wins WHERE win IN (SELECT win FROM dup)),
+      |spans AS (SELECT doc_id, min(pos)-1 AS s, max(pos)+8 AS e, count(*) AS nw
+      |          FROM hits GROUP BY doc_id, grp)""".stripMargin
+
+  private val substringSpansSql =
+    s"""$substringSpanCtes
+       |SELECT doc_id, s AS start_tok, e AS end_tok, nw AS n_windows
+       |FROM spans ORDER BY doc_id, start_tok""".stripMargin
+
+  private val substringStripSql =
+    s"""$substringSpanCtes,
+       |toks AS (SELECT doc_id, toks[i] AS tok, i - 1 AS idx
+       |         FROM docs, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)),
+       |kept AS (
+       |  SELECT t.doc_id, t.tok, t.idx FROM toks t
+       |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+       |                    WHERE sp.doc_id = t.doc_id AND t.idx BETWEEN sp.s AND sp.e))
+       |SELECT d.doc_id,
+       |       coalesce(string_agg(k.tok, ' ' ORDER BY k.idx), '') AS clean_text,
+       |       len(d.toks) - count(k.tok) AS removed_tokens
+       |FROM docs d LEFT JOIN kept k USING (doc_id)
+       |GROUP BY d.doc_id, len(d.toks)
+       |ORDER BY d.doc_id""".stripMargin
+
   private val annLshRecallSql = {
     val rows = (0 until 10).map(i => s"(CAST($i AS BIGINT), true)").mkString(", ")
     s"SELECT * FROM (VALUES $rows) AS t(query_id, recall_ok) ORDER BY query_id"
@@ -657,6 +694,17 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), round(col("quality_score"), 4).as("quality_score"))
         .orderBy("doc_id")
     }),
+    // ExactSubstr-style dedup (Lee et al. 2021): maximal duplicated
+    // ≥10-token spans, then the strip that removes them. The oracle
+    // re-derives both from scratch in DuckDB (windows → dup windows →
+    // gaps-and-islands → span merge → token anti-join), so a green pair
+    // proves the window/merge/removal semantics end to end.
+    "dedup_substring_spans" -> ((s, dir) =>
+      Dedup.duplicatedSpans(s.read.parquet(s"$dir/documents.parquet"), minLen = 10)
+        .orderBy("doc_id", "start_tok")),
+    "dedup_substring_strip" -> ((s, dir) =>
+      Dedup.stripDuplicatedSpans(s.read.parquet(s"$dir/documents.parquet"), minLen = 10)
+        .orderBy("doc_id")),
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(s.read.parquet(s"$dir/documents.parquet"))
         .orderBy("id_a", "id_b")),
@@ -867,6 +915,8 @@ object SparkEntry {
     "dedup_minhash_recall" -> minhashRecallSql,
     "dedup_survivors" -> dedupSurvivorsSql,
     "dedup_simhash_pairs" -> simhashPairsSql,
+    "dedup_substring_spans" -> substringSpansSql,
+    "dedup_substring_strip" -> substringStripSql,
     "dedup_minhash_pairs" -> minhashPairsSql,
     "dedup_embedding_neardup" -> embeddingNearDupSql,
     "text_tokens_bpeish" -> bpeishSql,

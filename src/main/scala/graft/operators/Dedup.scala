@@ -394,6 +394,95 @@ object Dedup {
       case _ => ()
     }
 
+  // ---- duplicated-substring spans (ExactSubstr-style) -----------------------------
+
+  /**
+   * Maximal duplicated token spans — the removal set of ExactSubstr dedup
+   * (Lee et al., "Deduplicating Training Data Makes Language Models
+   * Better", arXiv:2107.06499), re-expressed for Spark. The paper builds a
+   * corpus-wide suffix array, which does not distribute; the key identity
+   * that makes the operator Spark-native is that the UNION of all
+   * duplicated substrings of length ≥ L equals the union of all duplicated
+   * L-token windows (any longer duplicated substring is covered by its own
+   * L-windows, each itself duplicated), so the span set is exactly
+   * recoverable from fixed-width window hashing + run merging:
+   *
+   *   1. per doc, every L-token window → 128-bit hash, row-local
+   *      (`transform` + `xxhash64` over `slice`/`array_join`; the window
+   *      string never leaves the map side — only (id, pos, hash) shuffles);
+   *   2. a window is duplicated iff its hash occurs ≥ 2 times corpus-wide
+   *      (positions count, so intra-doc repeats qualify — paper semantics);
+   *   3. per doc, consecutive duplicated positions merge into maximal
+   *      spans (gaps-and-islands: pos − row_number is constant on a run).
+   *
+   * Shuffles at 100 TB: one on the 16-byte window hash (the big one — the
+   * same shape as exact dedup, map-side partial counts apply), then one on
+   * doc id over ONLY the duplicated positions (a small fraction of the
+   * corpus). Everything is codegen'd; no UDFs, no driver-side state. The
+   * 128-bit key (two independent xxhash64 seeds) makes a false duplicate
+   * mark need a simultaneous double collision (~2⁻¹²⁸ per pair), so the
+   * operator stays exact at 10¹³-window scale where a single 64-bit hash
+   * would see birthday collisions.
+   *
+   * Returns (idCol, start_tok, end_tok, n_windows): 0-based inclusive
+   * token offsets of each maximal span, n_windows = its duplicated-window
+   * count (= span_len − minLen + 1). Tokenization is whitespace (`\s+` on
+   * the trimmed text), matching TextKit.wsTokens and the DuckDB oracle.
+   */
+  def duplicatedSpans(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                      minLen: Int = 10): DataFrame = {
+    require(minLen >= 2, "minLen must be >= 2 (a 1-token window dedups single words)")
+    val winKey = (win: Column) =>
+      struct(xxhash64(win).as("h1"), xxhash64(lit(1), win).as("h2"))
+    val wins = docs
+      .select(col(idCol).as("id"), split(trim(col(textCol)), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= minLen)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0), size(col("toks")) - minLen),
+        i => winKey(array_join(slice(col("toks"), i + lit(1), lit(minLen)), " ")))))
+      .toDF("id", "pos", "wh")
+    val dup = wins
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy("wh")))
+      .filter(col("occ") >= 2)
+    dup
+      .withColumn("grp", col("pos") - row_number().over(Window.partitionBy("id").orderBy("pos")))
+      .groupBy("id", "grp")
+      .agg(min(col("pos")).cast("long").as("start_tok"),
+        (max(col("pos")) + lit(minLen - 1)).cast("long").as("end_tok"),
+        count(lit(1)).as("n_windows"))
+      .select(col("id").as(idCol), col("start_tok"), col("end_tok"), col("n_windows"))
+  }
+
+  /**
+   * ExactSubstr dedup applied: drop every token covered by a duplicated
+   * span of ≥ minLen tokens and rebuild the text from the survivors with
+   * single spaces (the tokenizer's whitespace-normalized view — a doc with
+   * no spans comes back normalized, not byte-identical). The removal is a
+   * higher-order `filter` with an index lambda against the doc's collected
+   * span list — codegen'd, row-local after one id-keyed join; spans per
+   * doc are few (merged maximal islands), so the collected list stays tiny
+   * even for pathological boilerplate docs.
+   * Returns (idCol, clean_text, removed_tokens); a fully-duplicated doc
+   * yields clean_text = "" (the paper's "remove, don't keep one copy"
+   * choice — pair with exact dedup first if one canonical copy must
+   * survive).
+   */
+  def stripDuplicatedSpans(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                           minLen: Int = 10): DataFrame = {
+    val spans = duplicatedSpans(docs, textCol, idCol, minLen)
+      .groupBy(idCol).agg(collect_list(struct(col("start_tok"), col("end_tok"))).as("spans"))
+    val toks = when(length(trim(col(textCol))) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(col(textCol)), "\\s+"))
+    docs.select(col(idCol), toks.as("toks"))
+      .join(spans, Seq(idCol), "left")
+      .withColumn("kept", filter(col("toks"), (_, i) =>
+        !coalesce(exists(col("spans"), sp =>
+          i >= sp.getField("start_tok") && i <= sp.getField("end_tok")), lit(false))))
+      .select(col(idCol),
+        array_join(col("kept"), " ").as("clean_text"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("removed_tokens"))
+  }
+
   // ---- simhash --------------------------------------------------------------------
 
   private val simhashUdf = udf((s: String) => TextKit.simhash64(Option(s).getOrElse("")))

@@ -311,6 +311,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally loaded.close()
   }
 
+  test("duplicated substring spans: planted boilerplate found exactly, runs merged") {
+    val boiler = (1 to 12).map(i => s"B$i").mkString(" ")
+    val phrase = (1 to 6).map(i => s"P$i").mkString(" ")
+    val corpus = Seq(
+      (0L, s"u01 u02 u03 u04 u05 $boiler u06 u07 u08 u09"), // boiler at idx 5..16
+      (1L, s"$boiler v01 v02 v03 v04 v05 v06"),             // boiler at idx 0..11
+      (2L, s"w01 w02 w03 $phrase x01 x02 x03 $phrase y01"), // intra-doc repeat at 3..8, 12..17
+      (3L, (1 to 15).map(i => s"z$i").mkString("  ")),      // unique, messy whitespace
+      (4L, "q1 q2 q3"),                                     // shorter than minLen
+      (5L, (1 to 10).map(i => s"d$i").mkString(" ")),       // exact dup of 6
+      (6L, (1 to 10).map(i => s"d$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(corpus, minLen = 5)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("start_tok"),
+        r.getAs[Long]("end_tok"), r.getAs[Long]("n_windows"))).toSet
+    // the 12-token boiler merges into ONE maximal span per doc (8 windows of
+    // length 5); windows straddling the boiler boundary are not duplicated
+    assert(spans == Set(
+      (0L, 5L, 16L, 8L), (1L, 0L, 11L, 8L),
+      (2L, 3L, 8L, 2L), (2L, 12L, 17L, 2L),   // intra-doc positions count
+      (5L, 0L, 9L, 6L), (6L, 0L, 9L, 6L)))    // fully-duplicated docs
+
+    val strip = Dedup.stripDuplicatedSpans(corpus, minLen = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("removed_tokens"))).toMap
+    assert(strip(0L) == ("u01 u02 u03 u04 u05 u06 u07 u08 u09", 12L))
+    assert(strip(1L) == ("v01 v02 v03 v04 v05 v06", 12L))
+    assert(strip(2L) == ("w01 w02 w03 x01 x02 x03 y01", 12L))
+    assert(strip(3L) == ((1 to 15).map(i => s"z$i").mkString(" "), 0L)) // ws-normalized
+    assert(strip(4L) == ("q1 q2 q3", 0L))
+    assert(strip(5L) == ("", 10L) && strip(6L) == ("", 10L)) // removed, no survivor copy
+    intercept[IllegalArgumentException](Dedup.duplicatedSpans(corpus, minLen = 1))
+  }
+
   test("language id: deterministic heuristic with real stopword texts") {
     assert(TextKit.langId("the cat sat on the mat and it was happy") == "en")
     assert(TextKit.langId("der Hund ist nicht mit der Katze und sie") == "de")
