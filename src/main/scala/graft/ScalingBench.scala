@@ -145,6 +145,43 @@ object ScalingBench {
         s""""coclustered_frac":${f"${coclustered.toDouble / math.max(1, nTruth)}%.4f"},""" +
         s""""caps":$capsJson}""")
 
+    case "substr" :: cpusStr :: nStr :: Nil =>
+      // ExactSubstr-dedup validation at scale: n planted docs (DocsGen) ->
+      // duplicatedSpans, compared EXACTLY (all four columns, both
+      // directions) against the independent local-reference truth — not a
+      // recall floor, an equality. Reports throughput for the scaling pair
+      // and the strip pass separately.
+      val cpus = cpusStr.toInt
+      val n = nStr.toLong
+      val s = Bench.buildSession(cpus, s"graft-substr-$cpus")
+      import org.apache.spark.sql.functions._
+      val parts = cpus * 4
+      val docs = graft.sources.DocsGen.docs(s, n, parts)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docs.count() // generation excluded from the timed section
+      graft.operators.Dedup.duplicatedSpans(docs.limit(2000), minLen = 10).count() // warm JIT
+      val t0 = System.nanoTime()
+      val spans = graft.operators.Dedup.duplicatedSpans(docs, minLen = 10)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nSpans = spans.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val removed = graft.operators.Dedup.stripDuplicatedSpans(docs, minLen = 10)
+        .agg(sum(col("removed_tokens"))).head().getLong(0)
+      val stripSec = (System.nanoTime() - t1) / 1e9
+      // exact-equality validation vs the local reference (untimed)
+      val truth = graft.sources.DocsGen.substringTruth(s, n, 10, parts)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nTruth = truth.count()
+      val keys = Seq("doc_id", "start_tok", "end_tok", "n_windows")
+      val nBoth = spans.join(truth, keys, "left_semi").count()
+      s.stop()
+      println(
+        s"""{"metric":"substr_scale","cpus":$cpus,"n":$n,"sec":${f"$sec%.2f"},""" +
+        s""""docs_per_sec":${f"${n / sec}%.1f"},"strip_sec":${f"$stripSec%.2f"},""" +
+        s""""spans":$nSpans,"truth_spans":$nTruth,"matched":$nBoth,""" +
+        s""""exact_match":${nSpans == nTruth && nBoth == nSpans},"removed_tokens":$removed}""")
+
     case "control" :: threadsStr :: rest if rest.size <= 1 =>
       // Pure-JVM control: the tokenizer kernel across a thread pool —
       // measures THIS VM's thread-scaling ceiling so the crawl's scaling can
@@ -181,7 +218,7 @@ object ScalingBench {
       println(s"""{"metric":"control","threads":$threads,"sec":${f"$sec%.2f"},"docs":$docs,"docs_per_sec":${f"${docs / sec}%.1f"},"docs_per_sec_per_thread":${f"${docs / sec / threads}%.1f"}}""")
 
     case _ =>
-      System.err.println("usage: ScalingBench gen <n> | run <cpus> <n> | kernel <cpus> <n> | dedup <cpus> <n> | control <threads> [nDocs]")
+      System.err.println("usage: ScalingBench gen <n> | run <cpus> <n> | kernel <cpus> <n> | dedup <cpus> <n> | substr <cpus> <n> | control <threads> [nDocs]")
       sys.exit(2)
   }
 }

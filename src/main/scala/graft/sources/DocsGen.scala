@@ -47,6 +47,53 @@ object DocsGen {
       Array.tabulate(docWords)(i => word(id * 977L + i * 13L + 5L)).mkString(" ")
   }
 
+  /**
+   * Planted ExactSubstr ground truth: maximal duplicated ≥minLen-token
+   * spans, computed by an independent LOCAL reference (string hash maps +
+   * a linear island scan — none of the operator's window-hash/Catalyst
+   * machinery). Blocks are content-disjoint by construction (every word is
+   * a mix64 of block- or id-salted seeds; a 10-token window repeating
+   * across blocks would need 10 consecutive 16-bit collisions), so
+   * corpus-wide duplication reduces to within-block duplication and each
+   * block's truth is derivable row-locally from ids alone. The spec test
+   * validates this reduction by brute-forcing a small corpus globally.
+   */
+  def substringTruth(spark: SparkSession, n: Long, minLen: Int, partitions: Int): DataFrame = {
+    import spark.implicits._
+    val blocks = (n + blockSize - 1) / blockSize
+    spark.range(0, blocks, 1, partitions)
+      .flatMap { block =>
+        val ids = (block * blockSize until math.min(n, (block + 1) * blockSize)).toSeq
+        localSpans(ids.map(id => id -> text(id).split(" ").toSeq), minLen)
+      }
+      .toDF("doc_id", "start_tok", "end_tok", "n_windows")
+  }
+
+  /** The local reference kernel: window counts over the given docs, then
+    * per-doc maximal islands of duplicated positions. */
+  private[graft] def localSpans(docs: Seq[(Long, Seq[String])],
+                                minLen: Int): Seq[(Long, Long, Long, Long)] = {
+    val counts = scala.collection.mutable.HashMap.empty[String, Int]
+    for ((_, tk) <- docs; i <- 0 to tk.length - minLen)
+      counts.updateWith(tk.slice(i, i + minLen).mkString(" "))(c => Some(c.getOrElse(0) + 1))
+    docs.flatMap { case (id, tk) =>
+      val dupPos = (0 to tk.length - minLen)
+        .filter(i => counts(tk.slice(i, i + minLen).mkString(" ")) >= 2)
+      val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      var run = List.empty[Int]
+      def flush(): Unit = if (run.nonEmpty) {
+        spans += ((id, run.last.toLong, run.head.toLong + minLen - 1, run.size.toLong))
+        run = Nil
+      }
+      for (p <- dupPos) {
+        if (run.nonEmpty && p != run.head + 1) flush()
+        run = p :: run
+      }
+      flush()
+      spans.toSeq
+    }
+  }
+
   /** The corpus as (doc_id, text), generated in parallel. */
   def docs(spark: SparkSession, n: Long, partitions: Int): DataFrame = {
     import spark.implicits._

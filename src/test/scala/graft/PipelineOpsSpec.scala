@@ -345,6 +345,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Dedup.duplicatedSpans(corpus, minLen = 1))
   }
 
+  test("substring spans on the planted corpus: operator == per-block truth == global brute force") {
+    import graft.sources.DocsGen
+    val n = 2000L
+    val corpus = DocsGen.docs(spark, n, 8).cache()
+    def keyed(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("start_tok"),
+        r.getAs[Long]("end_tok"), r.getAs[Long]("n_windows"))).toSet
+    val op = keyed(Dedup.duplicatedSpans(corpus, minLen = 10).collect())
+    val truth = keyed(DocsGen.substringTruth(spark, n, 10, 8).collect())
+    // global brute force over the whole corpus with the local kernel —
+    // validates the block-disjointness reduction substringTruth relies on
+    val brute = DocsGen.localSpans(
+      (0L until n).map(id => id -> DocsGen.text(id).split(" ").toSeq), 10).toSet
+    assert(truth == brute, "per-block truth must equal the corpus-global brute force")
+    assert(op == truth, s"operator diverged: ${(op -- truth).take(3)} / ${(truth -- op).take(3)}")
+    assert(op.nonEmpty, "planted corpus should contain duplicated >=10-token runs")
+    corpus.unpersist()
+  }
+
   test("language id: deterministic heuristic with real stopword texts") {
     assert(TextKit.langId("the cat sat on the mat and it was happy") == "en")
     assert(TextKit.langId("der Hund ist nicht mit der Katze und sie") == "de")
