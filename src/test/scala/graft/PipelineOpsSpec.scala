@@ -364,6 +364,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     corpus.unpersist()
   }
 
+  test("corpus stats: per-language report consistent with the row-level operators") {
+    val st = TextAnalysis.corpusStats(docs).collect()
+    assert(st.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    assert(math.abs(st.map(_.getAs[Double]("doc_share")).sum - 1.0) < 0.01)
+    val byLang = TextAnalysis.langId(docs).groupBy("lang_pred").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    st.foreach(r =>
+      assert(r.getAs[Long]("n_docs") == byLang(r.getAs[String]("lang_pred"))))
+  }
+
   test("language id: deterministic heuristic with real stopword texts") {
     assert(TextKit.langId("the cat sat on the mat and it was happy") == "en")
     assert(TextKit.langId("der Hund ist nicht mit der Katze und sie") == "de")
