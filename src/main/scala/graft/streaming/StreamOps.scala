@@ -173,6 +173,71 @@ object StreamOps {
         "location string, content_type string, error string, " +
         "internal_links array<string>, external_links array<string>")
 
+  // ---- streaming duplicated-window detection ---------------------------------
+
+  final case class DupWindow(doc_id: Long, pos: Int)
+  final case class WinSeen(first_id: Long, first_pos: Int, emitted: Boolean)
+
+  /**
+   * STREAMING counterpart of `Dedup.duplicatedSpans`' detection stage:
+   * emits every position whose L-token window occurs ≥2 times corpus-wide
+   * — INCLUDING the retroactive first occurrence, emitted the moment its
+   * second occurrence arrives (possibly many micro-batches later). A
+   * doc's maximal spans are the islands of its emitted positions (the
+   * same merge the batch operator applies); in a stream those spans can
+   * only GROW as later docs duplicate more of an old doc, so the island
+   * merge belongs on the consumer's read side — append mode cannot
+   * retract an emitted span to widen it, but emitted positions are never
+   * invalidated (duplicated-ness is monotone).
+   *
+   * State: one entry per DISTINCT window seen (first occurrence + emitted
+   * flag). Keyed by the window TEXT here for exactness at test scale; the
+   * production keying is the batch operator's 128-bit hash — identical
+   * state shape at ~24 bytes per distinct window, and the key space can
+   * additionally be watermark-bounded the same way ingestDedupStream
+   * bounds its content hashes when the corpus horizon allows it.
+   */
+  def substringDupWindowsStream(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                                minLen: Int = 10): Dataset[DupWindow] = {
+    require(minLen >= 2, "minLen must be >= 2")
+    import docs.sparkSession.implicits._
+    implicit val stateEnc = Encoders.product[WinSeen]
+    implicit val outEnc = Encoders.product[DupWindow]
+    val winsUdf = udf { (text: String) =>
+      val tk = graft.textkit.TextKit.wsTokens(Option(text).getOrElse(""))
+      if (tk.length < minLen) Array.empty[String]
+      else Array.tabulate(tk.length - minLen + 1)(i => tk.slice(i, i + minLen).mkString(" "))
+    }
+    docs
+      .select(col(idCol).as("id"), posexplode(winsUdf(col(textCol))))
+      .toDF("id", "pos", "win")
+      .as[(Long, Int, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[WinSeen, DupWindow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[WinSeen]) =>
+          val out = Vector.newBuilder[DupWindow]
+          var st = state.getOption
+          rows.foreach { case (id, pos, _) =>
+            st match {
+              case None => st = Some(WinSeen(id, pos, emitted = false))
+              case Some(s) =>
+                // a replayed (id,pos) identical to the stored first is not
+                // a second occurrence; anything else is
+                if (!(s.first_id == id && s.first_pos == pos)) {
+                  if (!s.emitted) {
+                    out += DupWindow(s.first_id, s.first_pos)
+                    st = Some(s.copy(emitted = true))
+                  }
+                  out += DupWindow(id, pos)
+                }
+            }
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Tail a (possibly still-running) crawl checkpoint as a STREAM: each
     * committed round's results_inc parquet files arrive as new stream
     * input, so a live dashboard aggregates crawl progress without touching

@@ -139,6 +139,45 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("substringDupWindowsStream: cross-batch duplicated positions equal the batch operator's") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val boiler = (1 to 12).map(i => s"B$i").mkString(" ")
+    val phrase = (1 to 6).map(i => s"P$i").mkString(" ")
+    val corpus = Seq(
+      0L -> s"u01 u02 u03 u04 u05 $boiler u06 u07 u08 u09",
+      1L -> s"$boiler v01 v02 v03 v04 v05 v06",
+      2L -> s"w01 w02 w03 $phrase x01 x02 x03 $phrase y01",
+      3L -> (1 to 15).map(i => s"z$i").mkString(" "),
+      4L -> "q1 q2 q3",
+      5L -> (1 to 10).map(i => s"d$i").mkString(" "),
+      6L -> (1 to 10).map(i => s"d$i").mkString(" "))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.substringDupWindowsStream(input.toDF().toDF("doc_id", "text"), minLen = 5)
+      .writeStream.format("memory").queryName("substr_win_out").outputMode("append").start()
+    try {
+      // doc 0 (boiler) and docs 2/3/4 first; the boiler's second copy (doc 1)
+      // and the exact-dup pair (5,6) arrive in LATER batches, so doc 0's
+      // positions must be emitted retroactively from carried state
+      input.addData(corpus(0), corpus(2), corpus(3), corpus(4))
+      q.processAllAvailable()
+      input.addData(corpus(1), corpus(5))
+      q.processAllAvailable()
+      input.addData(corpus(6))
+      q.processAllAvailable()
+      val streamed = spark.table("substr_win_out")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      // batch truth: every position covered by a span's window starts
+      val batch = graft.operators.Dedup
+        .duplicatedSpans(corpus.toDF("doc_id", "text"), minLen = 5)
+        .collect().flatMap(r => (r.getAs[Long]("start_tok") to
+          r.getAs[Long]("end_tok") - 4).map(p => (r.getAs[Long]("doc_id"), p.toInt)))
+        .toSet
+      assert(streamed == batch, s"stream ${streamed.toList.sorted} != batch ${batch.toList.sorted}")
+      assert(streamed.contains((0L, 5)) && streamed.contains((2L, 3)) && streamed.contains((5L, 0)))
+    } finally q.stop()
+  }
+
   test("minhashPairsStream: cross-batch near-dup pairs equal the batch operator's") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
