@@ -524,6 +524,59 @@ object SparkEntry {
        |             ELSE 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) END, 4) AS repetition_ratio
        |FROM b ORDER BY doc_id""".stripMargin
 
+  /**
+   * Fused corpus pipeline with the ExactSubstr stage: quality filter
+   * (round4 score ≥ 0.76) → exact-dedup survivors → duplicated-span strip
+   * over the SURVIVOR corpus (the window population differs from
+   * dedup_substring_strip's whole-table run — what this row proves is the
+   * composition). The oracle chains quality → md5 survivors → windows →
+   * islands → token anti-join in one DuckDB statement, checking
+   * clean_text byte-exactly.
+   */
+  private val pipelineCorpusE2eSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, text, length(text) AS n_chars,
+       |    CASE WHEN trim(text)='' THEN 0 ELSE len(string_split_regex(trim(text),'\\s+')) END AS n_tokens,
+       |    length(regexp_replace(text,'[^\\p{L}]','','g')) AS n_alpha,
+       |    length(regexp_replace(text,'[\\p{L}\\p{Nd}\\s]','','g')) AS n_punct,
+       |    length(regexp_replace(text,'\\s','','g')) AS n_nonws
+       |  FROM documents),
+       |sc AS (
+       |  SELECT doc_id, text, n_tokens,
+       |    CASE WHEN n_chars=0 OR n_tokens=0 THEN 0.0 ELSE
+       |      greatest(0.0, least(1.0,
+       |        0.4*(CAST(n_alpha AS DOUBLE)/n_chars)
+       |        + 0.2*least(1.0, (CAST(len(list_filter(string_split_regex(trim(text),'\\s+'),
+       |            x -> lower(x) IN ($enStop))) AS DOUBLE)/n_tokens)*4)
+       |        + 0.2*(1.0 - least(1.0, (CAST(n_punct AS DOUBLE)/n_chars)*5))
+       |        + 0.2*(CASE WHEN CAST(n_nonws AS DOUBLE)/n_tokens >= 3
+       |                     AND CAST(n_nonws AS DOUBLE)/n_tokens <= 10 THEN 1.0 ELSE 0.5 END))) END AS score
+       |  FROM t),
+       |keptq AS (SELECT doc_id, text FROM sc WHERE round(score, 4) >= 0.76),
+       |surv AS (SELECT * FROM keptq WHERE doc_id IN (
+       |    SELECT min(doc_id) FROM keptq GROUP BY md5(text))),
+       |docs AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') toks FROM surv),
+       |wins AS (
+       |  SELECT doc_id, i AS pos, array_to_string(toks[i:i+9], ' ') AS win
+       |  FROM docs, LATERAL (SELECT unnest(generate_series(1, len(toks)-9)) AS i)
+       |  WHERE len(toks) >= 10),
+       |dup AS (SELECT win FROM wins GROUP BY win HAVING count(*) > 1),
+       |hits AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |         FROM wins WHERE win IN (SELECT win FROM dup)),
+       |spans AS (SELECT doc_id, min(pos)-1 AS s, max(pos)+8 AS e FROM hits GROUP BY doc_id, grp),
+       |tok AS (SELECT doc_id, toks[i] AS tokn, i - 1 AS idx
+       |        FROM docs, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)),
+       |keptt AS (
+       |  SELECT t2.doc_id, t2.tokn, t2.idx FROM tok t2
+       |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+       |                    WHERE sp.doc_id = t2.doc_id AND t2.idx BETWEEN sp.s AND sp.e))
+       |SELECT d.doc_id,
+       |       coalesce(string_agg(k.tokn, ' ' ORDER BY k.idx), '') AS clean_text,
+       |       len(d.toks) - count(k.tokn) AS removed_tokens
+       |FROM docs d LEFT JOIN keptt k USING (doc_id)
+       |GROUP BY d.doc_id, len(d.toks)
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Shared CTE chain for the ExactSubstr oracles: every 10-token window
     * (by STRING — the oracle needs no hashing), the duplicated ones
     * (≥2 occurrences corpus-wide, positions count), and the maximal spans
@@ -717,6 +770,18 @@ object SparkEntry {
     "dedup_substring_strip" -> ((s, dir) =>
       Dedup.stripDuplicatedSpans(s.read.parquet(s"$dir/documents.parquet"), minLen = 10)
         .orderBy("doc_id")),
+    // quality filter → exact-dedup survivors → ExactSubstr strip, fused
+    // (the substring stage runs over the SURVIVOR corpus — composition,
+    // not a rerun of dedup_substring_strip)
+    "pipeline_corpus_e2e" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val kept = docs.join(
+        TextAnalysis.quality(docs)
+          .filter(round(col("quality_score"), 4) >= 0.76).select("doc_id"),
+        Seq("doc_id"))
+      val surv = kept.join(Dedup.exactSurvivors(kept).select("doc_id"), Seq("doc_id"))
+      Dedup.stripDuplicatedSpans(surv, minLen = 10).orderBy("doc_id")
+    }),
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(s.read.parquet(s"$dir/documents.parquet"))
         .orderBy("id_a", "id_b")),
@@ -929,6 +994,7 @@ object SparkEntry {
     "dedup_ngram_jaccard_t08" -> ngramJaccardT08Sql,
     "pipeline_e2e" -> pipelineE2eSql,
     "pipeline_docs_e2e" -> pipelineDocsE2eSql,
+    "pipeline_corpus_e2e" -> pipelineCorpusE2eSql,
     "dedup_minhash_recall" -> minhashRecallSql,
     "dedup_survivors" -> dedupSurvivorsSql,
     "dedup_simhash_pairs" -> simhashPairsSql,

@@ -364,6 +364,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     corpus.unpersist()
   }
 
+  test("duplicated spans plan shape: exactly two exchanges, no UDFs") {
+    val plan = Dedup.duplicatedSpans(docs, minLen = 10)
+      .queryExecution.executedPlan.toString
+    // one shuffle on the window hash, one on doc id; the island-merge
+    // aggregate must reuse the id partitioning (subset clustering), and
+    // the whole chain is declarative (no BatchEvalPython/ScalaUDF nodes)
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n == 2, s"expected exactly 2 exchanges, got $n:\n$plan")
+    assert(!plan.contains("UDF"), "duplicatedSpans must stay UDF-free")
+  }
+
   test("corpus stats: per-language report consistent with the row-level operators") {
     val st = TextAnalysis.corpusStats(docs).collect()
     assert(st.map(_.getAs[Long]("n_docs")).sum == docs.count())
