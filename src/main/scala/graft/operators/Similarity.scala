@@ -155,6 +155,41 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /**
+   * Incremental index growth — the standard IVF add path: the codebook
+   * stays FIXED and only the posting lists grow. New vectors are assigned
+   * to their nearest existing center (the same L2 metric the fit uses, via
+   * the already-broadcast codebook) and appended to the stored assignment;
+   * no re-clustering, no touch of the existing rows. Re-fit only when
+   * distribution drift skews cell occupancy. Returns a new index that
+   * ADOPTS the codebook broadcast — use (and eventually `close()`) the
+   * returned index instead of the input one, and don't close both.
+   */
+  def ivfAdd(index: IvfIndex, newVecs: DataFrame,
+             vecCol: String = "embedding", idCol: String = "vec_id"): IvfIndex = {
+    val centersBc = index.centersBc
+    val assignUdf = udf { (v: Seq[Float]) =>
+      val cs = centersBc.value
+      var best = 0; var bestD = Double.MaxValue; var i = 0
+      while (i < cs.length) {
+        val c = cs(i); var d = 0.0; var j = 0
+        while (j < c.length) { val x = v(j) - c(j); d += x * x; j += 1 }
+        if (d < bestD) { bestD = d; best = i }
+        i += 1
+      }
+      best
+    }
+    val added = newVecs
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cell", assignUdf(col("cv")))
+      .select("neighbor_id", "cv", "cell")
+    val union = index.assigned.unionByName(added)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    union.count() // materialize before the old cache is released
+    index.assigned.unpersist()
+    IvfIndex(index.codebook, union, centersBc)
+  }
+
   /** Persist a fitted index: the codebook and the cell assignment land as
     * parquet under `path` — at production scale the assignment IS a stored
     * table column and the codebook a tiny side table; this makes the

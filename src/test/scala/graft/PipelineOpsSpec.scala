@@ -293,6 +293,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally index.close()
   }
 
+  test("IVF add: incrementally added vectors are immediately queryable") {
+    val idx = Similarity.ivfFit(emb.filter($"vec_id" < 250), nlist = 16)
+    val grown = Similarity.ivfAdd(idx, emb.filter($"vec_id" >= 250))
+    try {
+      assert(grown.assigned.count() == emb.count())
+      // query with ADDED vectors under shifted ids: each must find its own
+      // original as top-1 with cosine ~1 (assignment and probe both take
+      // the nearest center, so the identical vector is always a candidate)
+      val q = emb.filter($"vec_id" >= 250 && $"vec_id" < 258)
+        .withColumn("vec_id", $"vec_id" + 10000)
+      val top1 = Similarity.ivfQuery(grown, q, 1, nprobe = 4).collect()
+      assert(top1.length == 8)
+      top1.foreach { r =>
+        assert(r.getAs[Long]("neighbor_id") == r.getAs[Long]("query_id") - 10000)
+        assert(r.getAs[Double]("cosine") > 0.999)
+      }
+    } finally grown.close()
+  }
+
   test("IVF save/load round-trip: a reloaded index answers queries identically") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-idx-").toString
     val fitted = Similarity.ivfFit(emb, nlist = 16)
