@@ -335,31 +335,34 @@ object SparkEntry {
 
   private val enStop = "'the','a','of','and','to','in','is','it','that','was','for','on','with','his','they'"
 
-  private val qualitySql =
-    s"""WITH t AS (
+  /** Quality-score CTE chain over `src` (CTEs qt → qs; qs emits doc_id,
+    * text, n_chars, n_tokens, score). ONE copy of the scoring formula,
+    * shared by the quality oracle and both fused-pipeline oracles, so the
+    * formula can never drift between them. */
+  private def qualityScoreCtes(src: String): String =
+    s"""qt AS (
        |  SELECT doc_id, text, length(text) AS n_chars,
        |    CASE WHEN trim(text)='' THEN 0 ELSE len(string_split_regex(trim(text),'\\s+')) END AS n_tokens,
        |    length(regexp_replace(text,'[^\\p{L}]','','g')) AS n_alpha,
        |    length(regexp_replace(text,'[\\p{L}\\p{Nd}\\s]','','g')) AS n_punct,
        |    length(regexp_replace(text,'\\s','','g')) AS n_nonws
-       |  FROM documents),
-       |s AS (
-       |  SELECT doc_id, n_chars, n_tokens,
-       |    CAST(n_alpha AS DOUBLE)/n_chars AS alpha,
-       |    CAST(n_punct AS DOUBLE)/n_chars AS punct,
-       |    CAST(len(list_filter(string_split_regex(trim(text),'\\s+'),
-       |      x -> lower(x) IN ($enStop))) AS DOUBLE)/n_tokens AS sw,
-       |    CAST(n_nonws AS DOUBLE)/n_tokens AS meanlen
-       |  FROM t WHERE n_chars > 0 AND n_tokens > 0
-       |  UNION ALL
-       |  SELECT doc_id, n_chars, n_tokens, 0.0, 0.0, 0.0, 0.0
-       |  FROM t WHERE n_chars = 0 OR n_tokens = 0)
-       |SELECT doc_id, n_chars, n_tokens,
-       |  round(CASE WHEN n_chars=0 OR n_tokens=0 THEN 0.0 ELSE
-       |    greatest(0.0, least(1.0,
-       |      0.4*alpha + 0.2*least(1.0, sw*4) + 0.2*(1.0 - least(1.0, punct*5))
-       |      + 0.2*(CASE WHEN meanlen >= 3 AND meanlen <= 10 THEN 1.0 ELSE 0.5 END))) END, 4) AS quality_score
-       |FROM s ORDER BY doc_id""".stripMargin
+       |  FROM $src),
+       |qs AS (
+       |  SELECT doc_id, text, n_chars, n_tokens,
+       |    CASE WHEN n_chars=0 OR n_tokens=0 THEN 0.0 ELSE
+       |      greatest(0.0, least(1.0,
+       |        0.4*(CAST(n_alpha AS DOUBLE)/n_chars)
+       |        + 0.2*least(1.0, (CAST(len(list_filter(string_split_regex(trim(text),'\\s+'),
+       |            x -> lower(x) IN ($enStop))) AS DOUBLE)/n_tokens)*4)
+       |        + 0.2*(1.0 - least(1.0, (CAST(n_punct AS DOUBLE)/n_chars)*5))
+       |        + 0.2*(CASE WHEN CAST(n_nonws AS DOUBLE)/n_tokens >= 3
+       |                     AND CAST(n_nonws AS DOUBLE)/n_tokens <= 10 THEN 1.0 ELSE 0.5 END))) END AS score
+       |  FROM qt)""".stripMargin
+
+  private val qualitySql =
+    s"""WITH ${qualityScoreCtes("documents")}
+       |SELECT doc_id, n_chars, n_tokens, round(score, 4) AS quality_score
+       |FROM qs ORDER BY doc_id""".stripMargin
 
   private val langIdSql = {
     def score(lang: String, words: String) =
@@ -440,25 +443,8 @@ object SparkEntry {
    * is verified end to end, not just each operator alone.
    */
   private val pipelineDocsE2eSql =
-    s"""WITH RECURSIVE t AS (
-       |  SELECT doc_id, text, length(text) AS n_chars,
-       |    CASE WHEN trim(text)='' THEN 0 ELSE len(string_split_regex(trim(text),'\\s+')) END AS n_tokens,
-       |    length(regexp_replace(text,'[^\\p{L}]','','g')) AS n_alpha,
-       |    length(regexp_replace(text,'[\\p{L}\\p{Nd}\\s]','','g')) AS n_punct,
-       |    length(regexp_replace(text,'\\s','','g')) AS n_nonws
-       |  FROM documents),
-       |sc AS (
-       |  SELECT doc_id, text, n_tokens,
-       |    CASE WHEN n_chars=0 OR n_tokens=0 THEN 0.0 ELSE
-       |      greatest(0.0, least(1.0,
-       |        0.4*(CAST(n_alpha AS DOUBLE)/n_chars)
-       |        + 0.2*least(1.0, (CAST(len(list_filter(string_split_regex(trim(text),'\\s+'),
-       |            x -> lower(x) IN ($enStop))) AS DOUBLE)/n_tokens)*4)
-       |        + 0.2*(1.0 - least(1.0, (CAST(n_punct AS DOUBLE)/n_chars)*5))
-       |        + 0.2*(CASE WHEN CAST(n_nonws AS DOUBLE)/n_tokens >= 3
-       |                     AND CAST(n_nonws AS DOUBLE)/n_tokens <= 10 THEN 1.0 ELSE 0.5 END))) END AS score
-       |  FROM t),
-       |kept AS (SELECT doc_id, text, n_tokens, score FROM sc WHERE round(score, 4) >= 0.76),
+    s"""WITH RECURSIVE ${qualityScoreCtes("documents")},
+       |kept AS (SELECT doc_id, text, n_tokens, score FROM qs WHERE round(score, 4) >= 0.76),
        |surv AS (SELECT * FROM kept WHERE doc_id IN (
        |    SELECT min(doc_id) FROM kept GROUP BY md5(text))),
        |toks AS (SELECT doc_id, CASE WHEN trim(text)='' THEN [] ELSE string_split_regex(trim(text),'\\s+') END AS tk FROM surv),
@@ -534,85 +520,58 @@ object SparkEntry {
    * clean_text byte-exactly.
    */
   private val pipelineCorpusE2eSql =
-    s"""WITH t AS (
-       |  SELECT doc_id, text, length(text) AS n_chars,
-       |    CASE WHEN trim(text)='' THEN 0 ELSE len(string_split_regex(trim(text),'\\s+')) END AS n_tokens,
-       |    length(regexp_replace(text,'[^\\p{L}]','','g')) AS n_alpha,
-       |    length(regexp_replace(text,'[\\p{L}\\p{Nd}\\s]','','g')) AS n_punct,
-       |    length(regexp_replace(text,'\\s','','g')) AS n_nonws
-       |  FROM documents),
-       |sc AS (
-       |  SELECT doc_id, text, n_tokens,
-       |    CASE WHEN n_chars=0 OR n_tokens=0 THEN 0.0 ELSE
-       |      greatest(0.0, least(1.0,
-       |        0.4*(CAST(n_alpha AS DOUBLE)/n_chars)
-       |        + 0.2*least(1.0, (CAST(len(list_filter(string_split_regex(trim(text),'\\s+'),
-       |            x -> lower(x) IN ($enStop))) AS DOUBLE)/n_tokens)*4)
-       |        + 0.2*(1.0 - least(1.0, (CAST(n_punct AS DOUBLE)/n_chars)*5))
-       |        + 0.2*(CASE WHEN CAST(n_nonws AS DOUBLE)/n_tokens >= 3
-       |                     AND CAST(n_nonws AS DOUBLE)/n_tokens <= 10 THEN 1.0 ELSE 0.5 END))) END AS score
-       |  FROM t),
-       |keptq AS (SELECT doc_id, text FROM sc WHERE round(score, 4) >= 0.76),
+    s"""WITH ${qualityScoreCtes("documents")},
+       |keptq AS (SELECT doc_id, text FROM qs WHERE round(score, 4) >= 0.76),
        |surv AS (SELECT * FROM keptq WHERE doc_id IN (
        |    SELECT min(doc_id) FROM keptq GROUP BY md5(text))),
-       |docs AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') toks FROM surv),
+       |${substringChainCtes("surv")},
+       |$substringStripTail""".stripMargin
+
+  /** Window→island CTE chain for the ExactSubstr oracles over `src`
+    * (must expose doc_id, text): every 10-token window by STRING (the
+    * oracle needs no hashing), the duplicated ones (≥2 occurrences
+    * corpus-wide, positions count), and the maximal spans via
+    * gaps-and-islands. DuckDB lists are 1-based; spans emits 0-based
+    * (doc_id, s, e, nw). ONE copy, shared by the spans/strip oracles and
+    * the fused corpus pipeline. */
+  private def substringChainCtes(src: String): String =
+    s"""sdocs AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') toks FROM $src),
        |wins AS (
        |  SELECT doc_id, i AS pos, array_to_string(toks[i:i+9], ' ') AS win
-       |  FROM docs, LATERAL (SELECT unnest(generate_series(1, len(toks)-9)) AS i)
+       |  FROM sdocs, LATERAL (SELECT unnest(generate_series(1, len(toks)-9)) AS i)
        |  WHERE len(toks) >= 10),
        |dup AS (SELECT win FROM wins GROUP BY win HAVING count(*) > 1),
        |hits AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
        |         FROM wins WHERE win IN (SELECT win FROM dup)),
-       |spans AS (SELECT doc_id, min(pos)-1 AS s, max(pos)+8 AS e FROM hits GROUP BY doc_id, grp),
-       |tok AS (SELECT doc_id, toks[i] AS tokn, i - 1 AS idx
-       |        FROM docs, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)),
-       |keptt AS (
-       |  SELECT t2.doc_id, t2.tokn, t2.idx FROM tok t2
-       |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
-       |                    WHERE sp.doc_id = t2.doc_id AND t2.idx BETWEEN sp.s AND sp.e))
-       |SELECT d.doc_id,
-       |       coalesce(string_agg(k.tokn, ' ' ORDER BY k.idx), '') AS clean_text,
-       |       len(d.toks) - count(k.tokn) AS removed_tokens
-       |FROM docs d LEFT JOIN keptt k USING (doc_id)
-       |GROUP BY d.doc_id, len(d.toks)
-       |ORDER BY d.doc_id""".stripMargin
+       |spans AS (SELECT doc_id, min(pos)-1 AS s, max(pos)+8 AS e, count(*) AS nw
+       |          FROM hits GROUP BY doc_id, grp)""".stripMargin
 
-  /** Shared CTE chain for the ExactSubstr oracles: every 10-token window
-    * (by STRING — the oracle needs no hashing), the duplicated ones
-    * (≥2 occurrences corpus-wide, positions count), and the maximal spans
-    * via gaps-and-islands. DuckDB lists are 1-based; emitted offsets are
-    * 0-based to match the Spark operator. */
-  private val substringSpanCtes =
-    """WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\s+') toks FROM documents),
-      |wins AS (
-      |  SELECT doc_id, i AS pos, array_to_string(toks[i:i+9], ' ') AS win
-      |  FROM docs, LATERAL (SELECT unnest(generate_series(1, len(toks)-9)) AS i)
-      |  WHERE len(toks) >= 10),
-      |dup AS (SELECT win FROM wins GROUP BY win HAVING count(*) > 1),
-      |hits AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-      |         FROM wins WHERE win IN (SELECT win FROM dup)),
-      |spans AS (SELECT doc_id, min(pos)-1 AS s, max(pos)+8 AS e, count(*) AS nw
-      |          FROM hits GROUP BY doc_id, grp)""".stripMargin
+  /** Strip tail over sdocs/spans: token anti-join + reassembly (shared by
+    * the whole-table strip oracle and the fused corpus pipeline — a def,
+    * not a val, so source order can't null it out of an earlier val's
+    * interpolation). */
+  private def substringStripTail: String =
+    """tok AS (SELECT doc_id, toks[i] AS tokn, i - 1 AS idx
+      |        FROM sdocs, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)),
+      |keptt AS (
+      |  SELECT t2.doc_id, t2.tokn, t2.idx FROM tok t2
+      |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+      |                    WHERE sp.doc_id = t2.doc_id AND t2.idx BETWEEN sp.s AND sp.e))
+      |SELECT d.doc_id,
+      |       coalesce(string_agg(k.tokn, ' ' ORDER BY k.idx), '') AS clean_text,
+      |       len(d.toks) - count(k.tokn) AS removed_tokens
+      |FROM sdocs d LEFT JOIN keptt k USING (doc_id)
+      |GROUP BY d.doc_id, len(d.toks)
+      |ORDER BY d.doc_id""".stripMargin
 
   private val substringSpansSql =
-    s"""$substringSpanCtes
+    s"""WITH ${substringChainCtes("documents")}
        |SELECT doc_id, s AS start_tok, e AS end_tok, nw AS n_windows
        |FROM spans ORDER BY doc_id, start_tok""".stripMargin
 
   private val substringStripSql =
-    s"""$substringSpanCtes,
-       |toks AS (SELECT doc_id, toks[i] AS tok, i - 1 AS idx
-       |         FROM docs, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)),
-       |kept AS (
-       |  SELECT t.doc_id, t.tok, t.idx FROM toks t
-       |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
-       |                    WHERE sp.doc_id = t.doc_id AND t.idx BETWEEN sp.s AND sp.e))
-       |SELECT d.doc_id,
-       |       coalesce(string_agg(k.tok, ' ' ORDER BY k.idx), '') AS clean_text,
-       |       len(d.toks) - count(k.tok) AS removed_tokens
-       |FROM docs d LEFT JOIN kept k USING (doc_id)
-       |GROUP BY d.doc_id, len(d.toks)
-       |ORDER BY d.doc_id""".stripMargin
+    s"""WITH ${substringChainCtes("documents")},
+       |$substringStripTail""".stripMargin
 
   /** Per-language corpus report: the lang-id and quality subqueries joined
     * and re-aggregated in DuckDB (mean over the same 4-decimal

@@ -415,10 +415,15 @@ object Dedup {
    *   3. per doc, consecutive duplicated positions merge into maximal
    *      spans (gaps-and-islands: pos − row_number is constant on a run).
    *
-   * Shuffles at 100 TB: one on the 16-byte window hash (the big one — the
-   * same shape as exact dedup, map-side partial counts apply), then one on
-   * doc id over ONLY the duplicated positions (a small fraction of the
-   * corpus). Everything is codegen'd; no UDFs, no driver-side state. The
+   * Shuffles at 100 TB: one FULL shuffle+sort of the (id, pos, 16-byte
+   * hash) window tuples on the hash (~28 bytes/window — the occurrence
+   * count is a window function, so unlike a groupBy there is no map-side
+   * combining; what keeps the volume sane is that the window STRING never
+   * shuffles), then one shuffle on doc id over ONLY the duplicated
+   * positions (a small fraction of the corpus). Everything is codegen'd;
+   * no UDFs, no driver-side state. Input contract: idCol is unique per
+   * row — a doc present twice under one id would count its own windows as
+   * corpus-duplicated. The
    * 128-bit key (two independent xxhash64 seeds) makes a false duplicate
    * mark need a simultaneous double collision (~2⁻¹²⁸ per pair), so the
    * operator stays exact at 10¹³-window scale where a single 64-bit hash
@@ -435,7 +440,8 @@ object Dedup {
     val winKey = (win: Column) =>
       struct(xxhash64(win).as("h1"), xxhash64(lit(1), win).as("h2"))
     val wins = docs
-      .select(col(idCol).as("id"), split(trim(col(textCol)), "\\s+").as("toks"))
+      .select(col(idCol).as("id"),
+        split(trim(coalesce(col(textCol), lit(""))), "\\s+").as("toks"))
       .filter(size(col("toks")) >= minLen)
       .select(col("id"), posexplode(transform(
         sequence(lit(0), size(col("toks")) - minLen),
@@ -471,8 +477,11 @@ object Dedup {
                            minLen: Int = 10): DataFrame = {
     val spans = duplicatedSpans(docs, textCol, idCol, minLen)
       .groupBy(idCol).agg(collect_list(struct(col("start_tok"), col("end_tok"))).as("spans"))
-    val toks = when(length(trim(col(textCol))) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(col(textCol)), "\\s+"))
+    // null text coalesces to "" (one row per doc survives, clean and empty
+    // — same contract as the other text operators and the DuckDB oracle)
+    val txt = coalesce(col(textCol), lit(""))
+    val toks = when(length(trim(txt)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(txt), "\\s+"))
     docs.select(col(idCol), toks.as("toks"))
       .join(spans, Seq(idCol), "left")
       .withColumn("kept", filter(col("toks"), (_, i) =>

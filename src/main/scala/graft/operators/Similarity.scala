@@ -158,16 +158,16 @@ object Similarity {
   /**
    * Incremental index growth — the standard IVF add path: the codebook
    * stays FIXED and only the posting lists grow. New vectors are assigned
-   * to their nearest existing center (the same L2 metric the fit uses, via
-   * the already-broadcast codebook) and appended to the stored assignment;
-   * no re-clustering, no touch of the existing rows. Re-fit only when
-   * distribution drift skews cell occupancy. Returns a new index that
-   * ADOPTS the codebook broadcast — use (and eventually `close()`) the
-   * returned index instead of the input one, and don't close both.
+   * to their nearest existing center (the same L2 metric the fit uses) and
+   * appended to the stored assignment; no re-clustering, no touch of the
+   * existing rows. Re-fit only when distribution drift skews cell
+   * occupancy. The returned index gets its OWN codebook broadcast and its
+   * own assignment cache, so the input and returned indexes are fully
+   * independent — `close()` each when done with it.
    */
   def ivfAdd(index: IvfIndex, newVecs: DataFrame,
              vecCol: String = "embedding", idCol: String = "vec_id"): IvfIndex = {
-    val centersBc = index.centersBc
+    val centersBc = newVecs.sparkSession.sparkContext.broadcast(index.codebook)
     val assignUdf = udf { (v: Seq[Float]) =>
       val cs = centersBc.value
       var best = 0; var bestD = Double.MaxValue; var i = 0
@@ -185,8 +185,7 @@ object Similarity {
       .select("neighbor_id", "cv", "cell")
     val union = index.assigned.unionByName(added)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    union.count() // materialize before the old cache is released
-    index.assigned.unpersist()
+    union.count() // materialize while the input index is still guaranteed live
     IvfIndex(index.codebook, union, centersBc)
   }
 

@@ -63,7 +63,10 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").as("total_tokens"),
         // per-row scores are rounded first so the mean matches an oracle
-        // computing over its own 4-decimal quality_score column
+        // computing over its own 4-decimal quality_score column; the
+        // remaining cross-engine risk is summation-order noise (~1e-13
+        // relative over ~10^4 rows) landing a mean exactly on a 0.00005
+        // boundary — a ~1e-9 coincidence, accepted
         round(avg(round(col("quality_score"), 4)), 4).as("mean_quality"))
       .withColumn("doc_share",
         round(col("n_docs") / sum(col("n_docs")).over(Window.partitionBy()), 4))

@@ -190,6 +190,14 @@ object StreamOps {
    * retract an emitted span to widen it, but emitted positions are never
    * invalidated (duplicated-ness is monotone).
    *
+   * Input contract (same as the batch operator): doc ids are unique — a
+   * re-delivered (id, pos) occurrence is at-least-once source replay, not
+   * a second corpus occurrence, so it never flips a window to duplicated
+   * (a replayed stored-first is ignored; other replays re-emit an
+   * already-emitted tuple). Emission is therefore SET-idempotent under
+   * replay, keeping the emitted set equal to the batch operator's over
+   * the once-per-doc logical corpus.
+   *
    * State: one entry per DISTINCT window seen (first occurrence + emitted
    * flag). Keyed by the window TEXT here for exactness at test scale; the
    * production keying is the batch operator's 128-bit hash — identical

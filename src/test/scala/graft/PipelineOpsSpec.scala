@@ -296,6 +296,7 @@ class PipelineOpsSpec extends AnyFunSuite {
   test("IVF add: incrementally added vectors are immediately queryable") {
     val idx = Similarity.ivfFit(emb.filter($"vec_id" < 250), nlist = 16)
     val grown = Similarity.ivfAdd(idx, emb.filter($"vec_id" >= 250))
+    idx.close() // indexes are independent: closing the input must not break grown
     try {
       assert(grown.assigned.count() == emb.count())
       // query with ADDED vectors under shifted ids: each must find its own
@@ -340,7 +341,8 @@ class PipelineOpsSpec extends AnyFunSuite {
       (3L, (1 to 15).map(i => s"z$i").mkString("  ")),      // unique, messy whitespace
       (4L, "q1 q2 q3"),                                     // shorter than minLen
       (5L, (1 to 10).map(i => s"d$i").mkString(" ")),       // exact dup of 6
-      (6L, (1 to 10).map(i => s"d$i").mkString(" "))
+      (6L, (1 to 10).map(i => s"d$i").mkString(" ")),
+      (7L, null.asInstanceOf[String])                       // null text
     ).toDF("doc_id", "text")
     val spans = Dedup.duplicatedSpans(corpus, minLen = 5)
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("start_tok"),
@@ -361,6 +363,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(strip(3L) == ((1 to 15).map(i => s"z$i").mkString(" "), 0L)) // ws-normalized
     assert(strip(4L) == ("q1 q2 q3", 0L))
     assert(strip(5L) == ("", 10L) && strip(6L) == ("", 10L)) // removed, no survivor copy
+    assert(strip(7L) == ("", 0L)) // null text: empty clean row, not null propagation
     intercept[IllegalArgumentException](Dedup.duplicatedSpans(corpus, minLen = 1))
   }
 
