@@ -573,6 +573,28 @@ object SparkEntry {
     s"""WITH ${substringChainCtes("documents")},
        |$substringStripTail""".stripMargin
 
+  /** Deterministic split oracle: splitmix64 of doc_id in HUGEINT SQL
+    * (same 64-bit wraparound discipline as the minhash oracle — split
+    * 32-bit multiplies, mod 2^64), bucket = unsigned hash mod 10^6,
+    * cumulative-weight CASE over the bucket. Must match
+    * `Sampling.hashSplit` (TextKit.mix64 + remainderUnsigned) bit-exactly. */
+  private val corpusSplitSql = {
+    val P64 = "18446744073709551616"
+    s"""WITH m0 AS (SELECT doc_id, CAST((CAST(doc_id AS HUGEINT) + 11400714819323198485) % $P64 AS UBIGINT) AS z1 FROM documents),
+       |m1 AS (SELECT doc_id, xor(z1, z1 >> 30) AS y1 FROM m0),
+       |m2 AS (SELECT doc_id, CAST(((CAST(y1 & 4294967295 AS HUGEINT) * 13787848793156543929) % $P64
+       |                           + ((CAST(y1 >> 32 AS HUGEINT) * 13787848793156543929) % 4294967296) * 4294967296)
+       |                          % $P64 AS UBIGINT) AS w1 FROM m1),
+       |m3 AS (SELECT doc_id, xor(w1, w1 >> 27) AS y2 FROM m2),
+       |m4 AS (SELECT doc_id, CAST(((CAST(y2 & 4294967295 AS HUGEINT) * 10723151780598845931) % $P64
+       |                           + ((CAST(y2 >> 32 AS HUGEINT) * 10723151780598845931) % 4294967296) * 4294967296)
+       |                          % $P64 AS UBIGINT) AS w2 FROM m3),
+       |m5 AS (SELECT doc_id, CAST(xor(w2, w2 >> 31) % 1000000 AS BIGINT) AS bucket FROM m4)
+       |SELECT doc_id, bucket,
+       |  CASE WHEN bucket < 900000 THEN 'train' WHEN bucket < 950000 THEN 'val' ELSE 'test' END AS split
+       |FROM m5 ORDER BY doc_id""".stripMargin
+  }
+
   /** Per-language corpus report: the lang-id and quality subqueries joined
     * and re-aggregated in DuckDB (mean over the same 4-decimal
     * quality_score column the Spark side pre-rounds). */
@@ -851,6 +873,11 @@ object SparkEntry {
     "text_corpus_stats" -> ((s, dir) =>
       TextAnalysis.corpusStats(s.read.parquet(s"$dir/documents.parquet"))
         .orderBy("lang_pred")),
+    // deterministic train/val/test split by id hash; the oracle recomputes
+    // splitmix64 in HUGEINT SQL and must land on identical buckets
+    "corpus_split" -> ((s, dir) =>
+      Sampling.hashSplit(s.read.parquet(s"$dir/documents.parquet"))
+        .select("doc_id", "bucket", "split").orderBy("doc_id")),
 
     // ---- multimodal plumbing ----
     "multimodal_meta" -> ((s, dir) =>
@@ -968,6 +995,7 @@ object SparkEntry {
     "text_dup_ngram_ratio" -> dupNgramRatioSql,
     "text_repetition_ratio" -> repetitionRatioSql,
     "text_corpus_stats" -> corpusStatsSql,
+    "corpus_split" -> corpusSplitSql,
     "text_tokens" ->
       """SELECT doc_id,
         |       CASE WHEN trim(text) = '' THEN 0

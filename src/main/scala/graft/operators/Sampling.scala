@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.textkit.TextKit
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic corpus splitting and sampling by id hash — how a training
+ * pipeline carves train/val/test and draws stable subsamples: no RNG
+ * state, no ordering or partitioning dependence, stable under reruns and
+ * engine changes (the DuckDB oracle recomputes splitmix64 in HUGEINT SQL
+ * and lands on identical buckets). Each doc's id maps to a bucket in
+ * [0, 10^6) via `TextKit.mix64`; splits and samples are bucket-range
+ * predicates, so membership is decidable row-locally — zero shuffles at
+ * any corpus size. The hash runs in a scalar UDF deliberately: Spark 4's
+ * ANSI mode would throw on the intentional 64-bit wraparound if the same
+ * arithmetic were written as SQL operators.
+ *
+ * No reference counterpart (the reference crawls; it never partitions a
+ * training corpus) — this rounds out the LLM-pipeline operator set next
+ * to dedup/quality/similarity.
+ */
+object Sampling {
+
+  /** Bucket space size: fractions resolve to 1e-6 granularity. */
+  val Buckets = 1000000L
+
+  /** Unsigned bucket in [0, Buckets) of mix64(id + salt) — matches the
+    * oracle's UBIGINT arithmetic exactly (remainderUnsigned, not %: the
+    * signed remainder of a negative hash would disagree with UBIGINT mod). */
+  private def bucketUdf(salt: Long) = udf((id: Long) =>
+    java.lang.Long.remainderUnsigned(TextKit.mix64(id + salt), Buckets))
+
+  /**
+   * Split the corpus by cumulative weight over the bucket space: weights
+   * ("train" 0.9, "val" 0.05, "test" 0.05) give bucket ranges
+   * [0,900k) / [900k,950k) / [950k,1M). Appends (bucket, split) to every
+   * row; expected proportions hold to hash uniformity (~1e-3 relative at
+   * 10^6 docs), membership is exact and permanent for a given salt.
+   */
+  def hashSplit(docs: DataFrame, idCol: String = "doc_id", salt: Long = 0L,
+                weights: Seq[(String, Double)] =
+                  Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)): DataFrame = {
+    require(weights.nonEmpty, "at least one split")
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9, "weights must sum to 1")
+    val cuts = weights.map(_._1).zip(
+      weights.scanLeft(0.0)(_ + _._2).tail.map(c => math.round(c * Buckets)))
+    val splitCol = cuts.dropRight(1).foldRight(lit(cuts.last._1): Column) {
+      case ((name, cut), rest) => when(col("bucket") < cut, lit(name)).otherwise(rest)
+    }
+    docs.withColumn("bucket", bucketUdf(salt)(col(idCol)))
+      .withColumn("split", splitCol)
+  }
+
+  /** Stable `fraction`-sample: rows whose bucket falls below
+    * fraction·Buckets. The same salt always draws the same sample; a
+    * larger fraction's sample is a SUPERSET of a smaller one's (nested
+    * samples for scaling-law runs). */
+  def hashSample(docs: DataFrame, fraction: Double,
+                 idCol: String = "doc_id", salt: Long = 0L): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction in [0,1]")
+    docs.withColumn("bucket", bucketUdf(salt)(col(idCol)))
+      .filter(col("bucket") < math.round(fraction * Buckets))
+      .drop("bucket")
+  }
+
+  /** Per-stratum stable sampling (e.g. per-language rebalancing): each
+    * stratum keeps its own fraction; strata not listed keep `default`. */
+  def stratifiedHashSample(docs: DataFrame, strataCol: String,
+                           fractions: Map[String, Double], default: Double = 0.0,
+                           idCol: String = "doc_id", salt: Long = 0L): DataFrame = {
+    require((fractions.values ++ Seq(default)).forall(f => f >= 0.0 && f <= 1.0))
+    val cut = fractions.foldLeft(lit(math.round(default * Buckets)): Column) {
+      case (rest, (k, f)) => when(col(strataCol) === k, lit(math.round(f * Buckets))).otherwise(rest)
+    }
+    docs.withColumn("bucket", bucketUdf(salt)(col(idCol)))
+      .filter(col("bucket") < cut)
+      .drop("bucket")
+  }
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.textkit.TextKit
 
 /** Training-data pipeline operators over the sf0.001 documents/embeddings
@@ -395,6 +395,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     val n = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(n == 2, s"expected exactly 2 exchanges, got $n:\n$plan")
     assert(!plan.contains("UDF"), "duplicatedSpans must stay UDF-free")
+  }
+
+  test("hash split/sample: deterministic, proportional, nested, stratified") {
+    val split = Sampling.hashSplit(docs).select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(split.size == docs.count())
+    val again = Sampling.hashSplit(docs).select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(split == again, "split must be a pure function of the ids")
+    val counts = split.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > 400 && counts("train") < 490, s"train share off: $counts")
+    // samples NEST: the 5% draw is a subset of the 20% draw (same salt)
+    val s05 = Sampling.hashSample(docs, 0.05).select("doc_id").collect().map(_.getLong(0)).toSet
+    val s20 = Sampling.hashSample(docs, 0.20).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s05.nonEmpty && s05.subsetOf(s20) && s20.size > s05.size)
+    // a different salt draws a different sample
+    val s20b = Sampling.hashSample(docs, 0.20, salt = 7L).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s20b != s20)
+    // stratified: only the selected stratum survives, completely
+    val joined = docs.join(TextAnalysis.langId(docs), "doc_id")
+    val st = Sampling.stratifiedHashSample(joined, "lang_pred", Map("en" -> 1.0))
+    assert(st.select("lang_pred").distinct().collect().map(_.getString(0)).toSet == Set("en"))
+    assert(st.count() == joined.filter($"lang_pred" === "en").count())
   }
 
   test("corpus stats: per-language report consistent with the row-level operators") {
