@@ -165,6 +165,11 @@ class StreamOpsSpec extends AnyFunSuite {
       q.processAllAvailable()
       input.addData(corpus(6))
       q.processAllAvailable()
+      // at-least-once replay: re-delivering doc 0 must not flip anything
+      // (set-idempotent — its windows are source replays, not new corpus
+      // occurrences)
+      input.addData(corpus(0))
+      q.processAllAvailable()
       val streamed = spark.table("substr_win_out")
         .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
       // batch truth: every position covered by a span's window starts
