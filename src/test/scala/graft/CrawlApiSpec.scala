@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{CrawlApi, CrawlEngine}
+import graft.operators.{CrawlApi, CrawlEngine, CrawlHttpApi}
 import graft.sources.PagesGen
 
 /** Ports of the api.rs tests (/root/reference/src/api.rs:204-390): bad-seed
@@ -99,5 +99,47 @@ class CrawlApiSpec extends AnyFunSuite {
       s"done not monotonic: $observed")
     // and the final observation matches the finished crawl
     assert(chainApi.status(seed) == ((n.toLong, 0L)))
+  }
+
+  test("HTTP wire surface: the reference's routes served end to end (api.rs, lib.rs:46)") {
+    val http = new CrawlHttpApi(new CrawlApi(spark, PagesGen.fixtures(spark))).start()
+    try {
+      val port = http.boundPort
+      val client = java.net.http.HttpClient.newHttpClient()
+      def get(path: String) = client.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:$port$path")).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      // percent-encoding, as the reference tests do (urlencoding::encode)
+      def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
+
+      // 400: ParseError text verbatim in a text/plain body (api.rs:266-277)
+      val bad = get(s"/crawl/${enc("not a url")}")
+      assert(bad.statusCode == 400 && bad.body == "relative URL without a base")
+      // crawl: the serde JSON payload over the wire (api.rs:291-337)
+      val h = PagesGen.host("multi-links")
+      val ok = get(s"/crawl/${enc(s"$h/start")}")
+      assert(ok.statusCode == 200)
+      assert(ok.headers.firstValue("Content-Type").orElse("") == "application/json")
+      assert(ok.body.startsWith("""{"pages": {"""))
+      assert(ok.body.contains(s""""$h/link1": {"Crawled":"""))
+      // list (api.rs:339-366)
+      val hc = PagesGen.host("cycle")
+      val lst = get(s"/crawl/${enc(s"$hc/start")}/list")
+      assert(lst.statusCode == 200 && lst.body.startsWith("""{"pages": ["""))
+      Seq("link1", "link2", "start").foreach(p =>
+        assert(lst.body.contains(s""""$hc/$p""""), s"missing $p in ${lst.body}"))
+      // count (api.rs:369-389)
+      val cnt = get(s"/crawl/${enc("http://127.0.0.1:8000/start")}/count")
+      assert(cnt.statusCode == 200 && cnt.body == """{"page_count": 6}""")
+      // 500: the crawl-failure text (api.rs:279-289)
+      val fail = get(s"/crawl/${enc(s"${PagesGen.host("robots-failure")}/start")}")
+      assert(fail.statusCode == 500 && fail.body.nonEmpty)
+      // status reflects the crawls above (crawler.rs:154-174 shape)
+      val st = get("/status")
+      assert(st.statusCode == 200 && st.body.startsWith("""{"crawls": ["""))
+      assert(st.body.contains(""""seed": """) && st.body.contains(""""done": """))
+      assert(get("/nope").statusCode == 404)
+    } finally http.stop()
   }
 }
