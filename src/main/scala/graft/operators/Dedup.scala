@@ -67,9 +67,6 @@ object Dedup {
 
   // ---- minhash + LSH -----------------------------------------------------------
 
-  private def minhashSigUdf(k: Int, numPerms: Int) = udf { (text: String) =>
-    TextKit.minhash(TextKit.shingleHashes(Option(text).getOrElse(""), k), numPerms)
-  }
   private val bandsUdf = udf { (sig: Seq[Long], bands: Int) =>
     TextKit.lshBands(sig.toArray, bands).zipWithIndex.map { case (h, i) => (i, h) }
   }
@@ -80,10 +77,17 @@ object Dedup {
     TextKit.jaccard(TextKit.shingleHashes(a, k), TextKit.shingleHashes(b, k))
   }
 
-  /** MinHash signatures: (id, sig array<long>). */
+  /** MinHash signatures: (id, sig array<long>). The signature runs as a
+    * NATIVE expression (graft.functions.MinhashSig — same TextKit kernel,
+    * no per-row UDF converter boundary); null text signs as "" to keep
+    * the UDF path's semantics. */
   def minhashSignatures(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-                        k: Int = 3, numPerms: Int = 64): DataFrame =
-    docs.select(col(idCol).as("id"), minhashSigUdf(k, numPerms)(col(textCol)).as("sig"))
+                        k: Int = 3, numPerms: Int = 64): DataFrame = {
+    graft.functions.TextExpressions.registerAll(docs.sparkSession)
+    docs.select(col(idCol).as("id"),
+      graft.functions.TextExpressions.minhash_sig_native(
+        coalesce(col(textCol), lit("")), k, numPerms).as("sig"))
+  }
 
   /**
    * MinHash+LSH near-dup pairs: shingle→minhash→band→bucket-join→verify.

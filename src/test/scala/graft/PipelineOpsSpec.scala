@@ -50,6 +50,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(TextKit.minhash(a, 64).sameElements(TextKit.minhash(a, 64)))
   }
 
+  test("native minhash expression matches the TextKit kernel (and signs null as empty)") {
+    val withNull = crafted.unionByName(Seq((99L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val sigs = Dedup.minhashSignatures(withNull, numPerms = 64).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[scala.collection.Seq[Long]]("sig").toArray).toMap
+    crafted.collect().foreach { r =>
+      val expect = TextKit.minhash(TextKit.shingleHashes(r.getAs[String]("text"), 3), 64)
+      assert(sigs(r.getAs[Long]("doc_id")).sameElements(expect))
+    }
+    assert(sigs(99L).sameElements(TextKit.minhash(TextKit.shingleHashes("", 3), 64)))
+  }
+
   test("minhash LSH finds the planted near-duplicate pairs") {
     val pairs = Dedup.minhashLshPairs(crafted, threshold = 0.5)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
