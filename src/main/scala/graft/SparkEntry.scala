@@ -573,6 +573,15 @@ object SparkEntry {
     s"""WITH ${substringChainCtes("documents")},
        |$substringStripTail""".stripMargin
 
+  /** As-of oracle: DuckDB's native ASOF LEFT JOIN (inclusive ≥ semantics,
+    * same as the operator's tag ordering at equal timestamps). */
+  private val asofJoinSql =
+    """SELECT l.event_id, l.user_id, l.ts, r.ts AS view_ts, r.event_id AS view_event_id
+      |FROM (SELECT * FROM events WHERE event_type='purchase') l
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='view') r
+      |  ON l.user_id = r.user_id AND l.ts >= r.ts
+      |ORDER BY l.event_id""".stripMargin
+
   /** Deterministic split oracle: splitmix64 of doc_id in HUGEINT SQL
     * (same 64-bit wraparound discipline as the minhash oracle — split
     * 32-bit multiplies, mod 2^64), bucket = unsigned hash mod 10^6,
@@ -654,6 +663,18 @@ object SparkEntry {
         .replace("JOIN customer ", "JOIN customer_bkt "))
     }),
     "q_events_hourly" -> ((s, dir) => { view(s, dir, "events"); s.sql(eventsHourlySql) }),
+    // as-of join: each purchase matched to the user's latest view at or
+    // before it — the oracle is DuckDB's NATIVE ASOF LEFT JOIN
+    "q_asof_join" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      AsofJoin.asofJoin(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "view"),
+        rightCols = Seq("ts", "event_id"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_ts").as("view_ts"), col("asof_event_id").as("view_event_id"))
+        .orderBy("event_id")
+    }),
 
     // ---- dedup suite ----
     "dedup_exact" -> ((s, dir) => { view(s, dir, "documents"); s.sql(dedupExactSql) }),
@@ -996,6 +1017,7 @@ object SparkEntry {
     "text_repetition_ratio" -> repetitionRatioSql,
     "text_corpus_stats" -> corpusStatsSql,
     "corpus_split" -> corpusSplitSql,
+    "q_asof_join" -> asofJoinSql,
     "text_tokens" ->
       """SELECT doc_id,
         |       CASE WHEN trim(text) = '' THEN 0

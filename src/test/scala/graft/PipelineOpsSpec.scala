@@ -408,6 +408,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!plan.contains("UDF"), "duplicatedSpans must stay UDF-free")
   }
 
+  test("as-of join: inclusive matches, left-outer nulls, struct-coherent carry") {
+    import graft.operators.AsofJoin
+    val l = Seq(("A", 10L), ("A", 20L), ("A", 5L), ("B", 7L)).toDF("u", "ts")
+    val r = Seq(("A", 10L, Some(100L), 1L), ("A", 15L, None, 7L), ("B", 8L, Some(80L), 2L))
+      .toDF("u", "ts", "v", "w")
+    val out = AsofJoin.asofJoin(l, r, on = "ts", by = Seq("u"), rightCols = Seq("ts", "v", "w"))
+      .collect().map(row => (row.getString(0), row.getLong(1)) ->
+        (Option(row.get(2)), Option(row.get(3)), Option(row.get(4)))).toMap
+    assert(out(("A", 10L)) == (Some(10L), Some(100L), Some(1L))) // equal ts matches (inclusive)
+    // struct-coherent: the matched right row's v is NULL — it must not be
+    // stitched with the older row's v=100
+    assert(out(("A", 20L)) == (Some(15L), None, Some(7L)))
+    assert(out(("A", 5L)) == (None, None, None))  // nothing at or before
+    assert(out(("B", 7L)) == (None, None, None))  // right row is later
+  }
+
   test("hash split/sample: deterministic, proportional, nested, stratified") {
     val split = Sampling.hashSplit(docs).select("doc_id", "split").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
