@@ -573,6 +573,22 @@ object SparkEntry {
     s"""WITH ${substringChainCtes("documents")},
        |$substringStripTail""".stripMargin
 
+  /** Session oracle: the same gaps-and-islands in DuckDB, integer-µs. */
+  private val sessionsSql =
+    """WITH o AS (
+      |  SELECT user_id, event_id, ts, epoch_us(ts) AS tus,
+      |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |f AS (SELECT user_id, event_id, ts,
+      |             CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS brk
+      |      FROM o),
+      |g AS (SELECT user_id, ts,
+      |             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                            ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM f)
+      |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events
+      |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+
   /** As-of oracle: DuckDB's native ASOF LEFT JOIN (inclusive ≥ semantics,
     * same as the operator's tag ordering at equal timestamps). */
   private val asofJoinSql =
@@ -663,6 +679,11 @@ object SparkEntry {
         .replace("JOIN customer ", "JOIN customer_bkt "))
     }),
     "q_events_hourly" -> ((s, dir) => { view(s, dir, "events"); s.sql(eventsHourlySql) }),
+    // batch sessionization (gaps-and-islands, 30-min gap) — integer-µs
+    // arithmetic both sides, so the oracle match is exact
+    "q_sessions" -> ((s, dir) =>
+      graft.streaming.StreamOps.sessionizeBatch(s.read.parquet(s"$dir/events.parquet"))
+        .orderBy("user_id", "session_start")),
     // as-of join: each purchase matched to the user's latest view at or
     // before it — the oracle is DuckDB's NATIVE ASOF LEFT JOIN
     "q_asof_join" -> ((s, dir) => {
@@ -1018,6 +1039,7 @@ object SparkEntry {
     "text_corpus_stats" -> corpusStatsSql,
     "corpus_split" -> corpusSplitSql,
     "q_asof_join" -> asofJoinSql,
+    "q_sessions" -> sessionsSql,
     "text_tokens" ->
       """SELECT doc_id,
         |       CASE WHEN trim(text) = '' THEN 0

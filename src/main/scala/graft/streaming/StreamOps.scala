@@ -76,6 +76,33 @@ object StreamOps {
       }
   }
 
+  /**
+   * Batch twin of `sessionize` — classic gaps-and-islands: a session is a
+   * maximal run of a user's events with inter-event gap ≤ gapMinutes.
+   * Arithmetic is integer microseconds end to end (unix_micros), so the
+   * DuckDB oracle (epoch_us) lands on identical sessions with zero float
+   * risk. One hash shuffle on user_id: both window passes and the final
+   * aggregate reuse the same partitioning (subset clustering).
+   */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      // cast: parquet NTZ timestamps → LTZ for unix_micros (sessions run
+      // UTC; gaps are invariant to the constant interpretation shift)
+      .withColumn("tus", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("prev", lag(col("tus"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull || col("tus") - col("prev") > gapUs, 1).otherwise(0))
+      .withColumn("sid",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "session_start", "session_end", "n_events")
+  }
+
   // ---- streaming ingestion dedup + quality gate -------------------------------
 
   /**

@@ -139,6 +139,23 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionizeBatch: gaps-and-islands sessions, 30-min boundary inclusive") {
+    import spark.implicits._
+    def tsMin(m: Long) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val ev = Seq(
+      (1L, 1L, tsMin(0)), (1L, 2L, tsMin(10)), (1L, 3L, tsMin(50)), // 40-min gap splits
+      (2L, 4L, tsMin(5)),                                           // singleton
+      (3L, 5L, tsMin(0)), (3L, 6L, tsMin(30))                       // exactly 30 min: same session
+    ).toDF("user_id", "event_id", "ts")
+    val out = StreamOps.sessionizeBatch(ev).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    assert(out == Set(
+      (1L, tsMin(0), tsMin(10), 2L),
+      (1L, tsMin(50), tsMin(50), 1L),
+      (2L, tsMin(5), tsMin(5), 1L),
+      (3L, tsMin(0), tsMin(30), 2L)))
+  }
+
   test("substringDupWindowsStream: cross-batch duplicated positions equal the batch operator's") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
