@@ -111,6 +111,7 @@ object Bench {
 
     val headline = Seq(
       "q1_agg", "q_join_agg", "q_window_topk", "q_events_hourly",
+      "q_asof_join", "q_sessions",
       "dedup_exact", "dedup_minhash_pairs", "dedup_ngram_jaccard", "dedup_ngram_jaccard_t08",
       "dedup_simhash_pairs", "dedup_substring_spans", "dedup_substring_strip",
       "ann_topk_brute", "ann_topk_lsh", "ann_topk_ivf",

@@ -679,6 +679,16 @@ object SparkEntry {
         .replace("JOIN customer ", "JOIN customer_bkt "))
     }),
     "q_events_hourly" -> ((s, dir) => { view(s, dir, "events"); s.sql(eventsHourlySql) }),
+    // exact per-type value percentiles: Spark `percentile` and DuckDB
+    // `quantile_cont` share the linear-interpolation definition
+    // (position = p·(n−1)), so the oracle match is value-exact
+    "q_event_percentiles" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.95)"), 4).as("p95"),
+          round(expr("percentile(value, 0.99)"), 4).as("p99"))
+        .orderBy("event_type")),
     // batch sessionization (gaps-and-islands, 30-min gap) — integer-µs
     // arithmetic both sides, so the oracle match is exact
     "q_sessions" -> ((s, dir) =>
@@ -1040,6 +1050,12 @@ object SparkEntry {
     "corpus_split" -> corpusSplitSql,
     "q_asof_join" -> asofJoinSql,
     "q_sessions" -> sessionsSql,
+    "q_event_percentiles" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 4) AS p50,
+        |       round(quantile_cont(value, 0.95), 4) AS p95,
+        |       round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |       CASE WHEN trim(text) = '' THEN 0
