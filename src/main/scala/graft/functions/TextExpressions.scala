@@ -3,10 +3,11 @@ package graft.functions
 import graft.textkit.TextKit
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -32,6 +33,12 @@ import org.apache.spark.unsafe.types.UTF8String
  */
 case class MinhashSig(child: Expression, k: Int, numPerms: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // analysis-time type check: a non-string child is an ANALYSIS error,
+  // not a per-row ClassCastException inside codegen
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig_native requires a STRING column, got ${child.dataType.sql}")
   override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
@@ -64,9 +71,12 @@ object TextExpressions {
           s"minhash_sig_native(text, k, numPerms) takes 3 arguments, got ${exprs.length}")
         require(exprs(1).foldable && exprs(2).foldable,
           "minhash_sig_native: k and numPerms must be literals (plan-time constants)")
-        MinhashSig(exprs.head,
-          exprs(1).eval().asInstanceOf[Number].intValue(),
-          exprs(2).eval().asInstanceOf[Number].intValue())
+        def intArg(e: Expression, name: String): Int = e.eval() match {
+          case n: Number => n.intValue()
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig_native: $name must be an integer literal, got $other")
+        }
+        MinhashSig(exprs.head, intArg(exprs(1), "k"), intArg(exprs(2), "numPerms"))
       }, "built-in")
 
   def minhash_sig_native(c: Column, k: Int, numPerms: Int): Column =

@@ -33,20 +33,30 @@ object AsofJoin {
                rightCols: Seq[String] = Seq("value"),
                prefix: String = "asof_"): DataFrame = {
     require(rightCols.nonEmpty, "carry at least one right column")
+    val clash = rightCols.map(prefix + _).toSet.intersect(left.columns.toSet)
+    require(clash.isEmpty,
+      s"prefixed right columns collide with left columns: ${clash.mkString(", ")} — pick another prefix")
     val rStructType = org.apache.spark.sql.types.StructType(
-      rightCols.map(c => right.schema(right.schema.fieldIndex(c))))
+      rightCols.map(c => right.schema(c)))
 
     val lPart = left.select(
       Seq(struct(left.columns.map(col): _*).as("_l"), lit(1).as("_tag"),
         col(on).as("_ts"), lit(null).cast(rStructType).as("_r")) ++ by.map(col): _*)
-    val rPart = right.select(
+    // a null right timestamp never matches anything (ASOF `l.ts >= r.ts`
+    // is never true for null) — drop it before it can sort to the head
+    // and be carried as a phantom match
+    val rPart = right.filter(col(on).isNotNull).select(
       Seq(lit(null).cast(left.schema).as("_l"), lit(0).as("_tag"),
         col(on).as("_ts"), struct(rightCols.map(col): _*).as("_r")) ++ by.map(col): _*)
 
     // right rows sort BEFORE left rows at equal ts → inclusive match; the
-    // whole right row travels as one struct, so its fields never mix
+    // whole right row travels as one struct, so its fields never mix.
+    // `_r` as the final sort key makes ties among right rows at the same
+    // (by, ts) deterministic: the greatest carried struct wins (Spark
+    // leaves the pick undefined otherwise; so does DuckDB's ASOF — unique
+    // (by, ts) on the right is still the contract for oracle comparisons)
     val w = Window.partitionBy(by.map(col): _*)
-      .orderBy(col("_ts").asc, col("_tag").asc)
+      .orderBy(col("_ts").asc, col("_tag").asc, col("_r").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lPart.unionByName(rPart)
       .withColumn("_r", last(col("_r"), ignoreNulls = true).over(w))

@@ -24,8 +24,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  */
 final class CrawlApi(spark: SparkSession, pages: DataFrame, cfg: CrawlConfig = CrawlConfig()) {
 
-  // seed → checkpoint dir of its most recent crawl through this facade
-  @volatile private var crawls: Map[String, String] = Map.empty
+  // seed → checkpoint dir of its most recent crawl through this facade.
+  // AtomicReference, not a @volatile var: concurrent HTTP handlers
+  // (CrawlHttpApi runs a pool) register/deregister concurrently, and a
+  // read-modify-write on a volatile Map loses updates under a race.
+  private val crawlsRef =
+    new java.util.concurrent.atomic.AtomicReference[Map[String, String]](Map.empty)
+  private def crawls: Map[String, String] = crawlsRef.get()
 
   private def canonical(seed: String): String =
     UrlKit.parse(seed).fold(
@@ -35,10 +40,10 @@ final class CrawlApi(spark: SparkSession, pages: DataFrame, cfg: CrawlConfig = C
   private def runCrawl(seed0: String): CrawlRun = {
     val seed = canonical(seed0)
     val dir = java.nio.file.Files.createTempDirectory("graft-api-crawl-").toString
-    crawls += seed -> dir
+    crawlsRef.updateAndGet(_ + (seed -> dir))
     val run = new CrawlEngine(spark, pages, cfg, dir).crawl(seed)
     if (run.failures.contains(seed)) {
-      crawls -= seed // deregistered on failure too (crawler.rs:356-361)
+      crawlsRef.updateAndGet(_ - seed) // deregistered on failure too (crawler.rs:356-361)
       throw new CrawlEngine.CrawlFailedException(seed, run.failures(seed))
     }
     run

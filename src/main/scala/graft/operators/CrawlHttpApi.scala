@@ -32,11 +32,16 @@ final class CrawlHttpApi(api: CrawlApi, port: Int = 0) {
   private val server =
     com.sun.net.httpserver.HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => handle(ex))
-  server.setExecutor(null)
+  // a real pool, NOT the single dispatcher thread: /status must answer
+  // WHILE a synchronous /crawl handler is mid-crawl (the reference serves
+  // concurrently; the facade's checkpoint-manifest status reads are
+  // designed for exactly this)
+  private val pool = java.util.concurrent.Executors.newCachedThreadPool()
+  server.setExecutor(pool)
 
   def start(): CrawlHttpApi = { server.start(); this }
   def boundPort: Int = server.getAddress.getPort
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdownNow(); () }
 
   private def q(s: String): String = "\"" + s.flatMap {
     case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -70,6 +75,10 @@ final class CrawlHttpApi(api: CrawlApi, port: Int = 0) {
           if (rest.endsWith("/list")) (rest.dropRight(5), "list")
           else if (rest.endsWith("/count")) (rest.dropRight(6), "count")
           else (rest, "crawl")
+        // the seed is exactly ONE segment: a raw '/' left in the carved
+        // remainder means extra path segments or a trailing slash — an
+        // unmatched route, 404 like the reference's router, not a 400
+        if (enc.isEmpty || enc.contains('/')) { respond(ex, 404, "text/plain", "not found"); return }
         // percent-decode ONLY: a raw '+' in a path segment stays '+'
         // (URLDecoder alone would form-decode it to a space, unlike Rocket)
         val seed = java.net.URLDecoder.decode(enc.replace("+", "%2B"), StandardCharsets.UTF_8)

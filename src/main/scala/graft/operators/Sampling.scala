@@ -35,8 +35,11 @@ object Sampling {
    * Split the corpus by cumulative weight over the bucket space: weights
    * ("train" 0.9, "val" 0.05, "test" 0.05) give bucket ranges
    * [0,900k) / [900k,950k) / [950k,1M). Appends (bucket, split) to every
-   * row; expected proportions hold to hash uniformity (~1e-3 relative at
-   * 10^6 docs), membership is exact and permanent for a given salt.
+   * row — pre-existing columns of those names are REPLACED (the split is
+   * the output contract); expected proportions hold to hash uniformity
+   * (~1e-3 relative at 10^6 docs), membership is exact and permanent for
+   * a given salt. The sampling variants below keep their bookkeeping
+   * under a reserved internal name instead, so caller columns survive.
    */
   def hashSplit(docs: DataFrame, idCol: String = "doc_id", salt: Long = 0L,
                 weights: Seq[(String, Double)] =
@@ -59,9 +62,12 @@ object Sampling {
   def hashSample(docs: DataFrame, fraction: Double,
                  idCol: String = "doc_id", salt: Long = 0L): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, "fraction in [0,1]")
-    docs.withColumn("bucket", bucketUdf(salt)(col(idCol)))
-      .filter(col("bucket") < math.round(fraction * Buckets))
-      .drop("bucket")
+    // transient column under a reserved name: a caller's own "bucket"
+    // column (e.g. hashSplit output fed back in for a nested draw) must
+    // survive the sample untouched
+    docs.withColumn("__graft_bucket", bucketUdf(salt)(col(idCol)))
+      .filter(col("__graft_bucket") < math.round(fraction * Buckets))
+      .drop("__graft_bucket")
   }
 
   /** Per-stratum stable sampling (e.g. per-language rebalancing): each
@@ -73,8 +79,8 @@ object Sampling {
     val cut = fractions.foldLeft(lit(math.round(default * Buckets)): Column) {
       case (rest, (k, f)) => when(col(strataCol) === k, lit(math.round(f * Buckets))).otherwise(rest)
     }
-    docs.withColumn("bucket", bucketUdf(salt)(col(idCol)))
-      .filter(col("bucket") < cut)
-      .drop("bucket")
+    docs.withColumn("__graft_bucket", bucketUdf(salt)(col(idCol)))
+      .filter(col("__graft_bucket") < cut)
+      .drop("__graft_bucket")
   }
 }

@@ -89,8 +89,11 @@ object StreamOps {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val gapUs = gapMinutes * 60L * 1000000L
     events
-      // cast: parquet NTZ timestamps → LTZ for unix_micros (sessions run
-      // UTC; gaps are invariant to the constant interpretation shift)
+      // cast: parquet NTZ timestamps → LTZ for unix_micros. Correct under
+      // any FIXED-OFFSET session timezone (every repo entry point pins
+      // UTC): the interpretation shift is constant, and gaps are shift-
+      // invariant. A DST session zone would bend gaps at transition
+      // instants for NTZ inputs — pin the session to UTC in that case.
       .withColumn("tus", unix_micros(col("ts").cast("timestamp")))
       .withColumn("prev", lag(col("tus"), 1).over(w))
       .withColumn("brk",

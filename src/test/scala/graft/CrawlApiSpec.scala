@@ -140,6 +140,46 @@ class CrawlApiSpec extends AnyFunSuite {
       assert(st.statusCode == 200 && st.body.startsWith("""{"crawls": ["""))
       assert(st.body.contains(""""seed": """) && st.body.contains(""""done": """))
       assert(get("/nope").statusCode == 404)
+      // unmatched crawl routes are 404s (the reference's router), not
+      // 400s from a garbage seed: extra segments, trailing slash, empty
+      assert(get(s"/crawl/${enc("http://x.test/")}/list/extra").statusCode == 404)
+      assert(get(s"/crawl/${enc("http://x.test/")}/").statusCode == 404)
+      assert(get("/crawl/").statusCode == 404)
+    } finally http.stop()
+  }
+
+  test("HTTP /status answers while /crawl runs (pooled handlers, not serialized)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val h = "https://http-status-chain.example.com"
+    val n = 30
+    import spark.implicits._
+    val rows = (0 until n).map { i =>
+      val links = if (i + 1 < n) Seq(s"$h/p${i + 1}") else Seq.empty
+      PagesGen.mkRow(s"$h/p$i", PagesGen.okHtml(PagesGen.htmlWithLinks(links)), i.toLong)
+    }
+    val http = new CrawlHttpApi(new CrawlApi(spark, spark.createDataset(rows).toDF())).start()
+    try {
+      val port = http.boundPort
+      val client = java.net.http.HttpClient.newHttpClient()
+      def get(path: String) = client.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:$port$path")).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
+      val crawl = Future(get(s"/crawl/${enc(s"$h/p0")}/count"))
+      // a single-threaded server would park this GET behind the crawl and
+      // never answer while it's in flight
+      var sawWhileRunning = 0
+      while (!crawl.isCompleted) {
+        val st = get("/status")
+        assert(st.statusCode == 200)
+        if (!crawl.isCompleted) sawWhileRunning += 1
+        Thread.sleep(20)
+      }
+      assert(sawWhileRunning >= 1, "/status never answered while the crawl was in flight")
+      assert(Await.result(crawl, 1.minute).body == s"""{"page_count": $n}""")
     } finally http.stop()
   }
 }

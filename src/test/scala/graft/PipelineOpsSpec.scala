@@ -410,9 +410,12 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   test("as-of join: inclusive matches, left-outer nulls, struct-coherent carry") {
     import graft.operators.AsofJoin
-    val l = Seq(("A", 10L), ("A", 20L), ("A", 5L), ("B", 7L)).toDF("u", "ts")
-    val r = Seq(("A", 10L, Some(100L), 1L), ("A", 15L, None, 7L), ("B", 8L, Some(80L), 2L))
-      .toDF("u", "ts", "v", "w")
+    val l = Seq(("A", 10L), ("A", 20L), ("A", 5L), ("B", 7L), ("C", 50L)).toDF("u", "ts")
+    val r = Seq(
+      ("A", Some(10L), Some(100L), 1L), ("A", Some(15L), None, 7L),
+      ("B", Some(8L), Some(80L), 2L),
+      ("C", None, Some(999L), 9L) // null right ts: must never match
+    ).toDF("u", "ts", "v", "w")
     val out = AsofJoin.asofJoin(l, r, on = "ts", by = Seq("u"), rightCols = Seq("ts", "v", "w"))
       .collect().map(row => (row.getString(0), row.getLong(1)) ->
         (Option(row.get(2)), Option(row.get(3)), Option(row.get(4)))).toMap
@@ -422,6 +425,11 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(("A", 20L)) == (Some(15L), None, Some(7L)))
     assert(out(("A", 5L)) == (None, None, None))  // nothing at or before
     assert(out(("B", 7L)) == (None, None, None))  // right row is later
+    assert(out(("C", 50L)) == (None, None, None)) // null right ts is not a match
+    // prefixed right columns must never shadow left columns
+    intercept[IllegalArgumentException](
+      AsofJoin.asofJoin(l.withColumnRenamed("u", "asof_ts"), r,
+        on = "ts", by = Seq("asof_ts"), rightCols = Seq("ts")))
   }
 
   test("hash split/sample: deterministic, proportional, nested, stratified") {
