@@ -925,6 +925,10 @@ object SparkEntry {
     "text_corpus_stats" -> ((s, dir) =>
       TextAnalysis.corpusStats(s.read.parquet(s"$dir/documents.parquet"))
         .orderBy("lang_pred")),
+    // global top-100 word bigrams (vocabulary report; integer-exact,
+    // tie-broken by gram string so the top-k cut is deterministic)
+    "text_top_ngrams" -> ((s, dir) =>
+      TextAnalysis.topNgrams(s.read.parquet(s"$dir/documents.parquet"))),
     // deterministic train/val/test split by id hash; the oracle recomputes
     // splitmix64 in HUGEINT SQL and must land on identical buckets
     "corpus_split" -> ((s, dir) =>
@@ -1047,6 +1051,14 @@ object SparkEntry {
     "text_dup_ngram_ratio" -> dupNgramRatioSql,
     "text_repetition_ratio" -> repetitionRatioSql,
     "text_corpus_stats" -> corpusStatsSql,
+    "text_top_ngrams" ->
+      """WITH t AS (SELECT CASE WHEN trim(text)='' THEN []
+        |                       ELSE string_split_regex(trim(text),'\s+') END AS tk FROM documents),
+        |g AS (SELECT array_to_string(tk[i:i+1], ' ') AS gram
+        |      FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk)-1)) AS i)
+        |      WHERE len(tk) >= 2)
+        |SELECT gram, count(*) AS n FROM g GROUP BY gram
+        |ORDER BY n DESC, gram LIMIT 100""".stripMargin,
     "corpus_split" -> corpusSplitSql,
     "q_asof_join" -> asofJoinSql,
     "q_sessions" -> sessionsSql,

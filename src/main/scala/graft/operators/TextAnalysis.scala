@@ -94,6 +94,30 @@ object TextAnalysis {
   }
 
   /**
+   * Global top-k word n-grams by corpus occurrence count — the vocabulary
+   * report a corpus pipeline publishes (and the input to boilerplate
+   * blocklists). Ties break on the gram string, so the top-k cut is
+   * deterministic and the integer-exact DuckDB oracle lands on the same
+   * rows. Scale shape: grams materialize row-local, ONE gram-keyed
+   * shuffle with map-side partial counts, then a global TakeOrdered
+   * (no full sort) for the k winners.
+   */
+  def topNgrams(docs: DataFrame, n: Int = 2, k: Int = 100,
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1 && k >= 1)
+    val toks = when(length(trim(coalesce(col(textCol), lit("")))) === 0,
+      array().cast("array<string>"))
+      .otherwise(split(trim(col(textCol)), "\\s+"))
+    docs.select(toks.as("t"))
+      .filter(size(col("t")) >= n)
+      .select(explode(transform(sequence(lit(0), size(col("t")) - n),
+        i => array_join(slice(col("t"), i + lit(1), lit(n)), " "))).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram"))
+      .limit(k)
+  }
+
+  /**
    * INTRA-doc repetition signal: 1 − distinct/total word bigrams — high
    * for degenerate repeated text (a standard LM-corpus quality cut).
    * Fully declarative (sequence/transform/array_distinct — codegen'd, no
