@@ -182,6 +182,69 @@ object ScalingBench {
         s""""spans":$nSpans,"truth_spans":$nTruth,"matched":$nBoth,""" +
         s""""exact_match":${nSpans == nTruth && nBoth == nSpans},"removed_tokens":$removed}""")
 
+    case "sessions" :: cpusStr :: nStr :: Nil =>
+      // Sessionization validation at scale: n deterministic events
+      // (per-user pseudo-random gaps of 1..50 min, so ~40% of gaps split
+      // sessions) -> sessionizeBatch, compared for EXACT set equality
+      // against a per-user local-reference island scan (users are
+      // disjoint by construction, so the reduction is trivially sound).
+      val cpus = cpusStr.toInt
+      val n = nStr.toLong
+      val s = Bench.buildSession(cpus, s"graft-sessions-$cpus")
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val perUser = 100L
+      val baseUs = 1700000000000000L
+      val minUs = 60L * 1000000L
+      // gap before event j (j>=1) of a user: 1..50 minutes, deterministic
+      def gapUs(user: Long, j: Long): Long =
+        (java.lang.Math.floorMod(graft.textkit.TextKit.mix64(user * 1000003L + j), 50L) + 1L) * minUs
+      def tsUs(id: Long): Long = {
+        val user = id / perUser; val off = id % perUser
+        var t = baseUs; var j = 1L
+        while (j <= off) { t += gapUs(user, j); j += 1 }
+        t
+      }
+      val parts = cpus * 4
+      val events = s.range(0, n, 1, parts)
+        .select(col("id").as("event_id"), (col("id") / perUser).cast("long").as("user_id"))
+        .withColumn("us", udf((id: Long) => tsUs(id)).apply(col("event_id")))
+        .withColumn("ts", timestamp_micros(col("us")))
+        .select("event_id", "user_id", "ts")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      events.count() // generation excluded from the timed section
+      graft.streaming.StreamOps.sessionizeBatch(events.limit(5000)).count() // warm JIT
+      val t0 = System.nanoTime()
+      val sess = graft.streaming.StreamOps.sessionizeBatch(events)
+        .select(col("user_id"), unix_micros(col("session_start").cast("timestamp")).as("s"),
+          unix_micros(col("session_end").cast("timestamp")).as("e"), col("n_events"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nSess = sess.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // local-reference truth: each user's sessions from the same gaps
+      val users = (n + perUser - 1) / perUser
+      val truth = s.range(0, users, 1, parts).flatMap { user =>
+        val nEv = math.min(perUser, n - user * perUser)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        var start = baseUs; var last = baseUs; var cnt = 1L; var t = baseUs
+        var j = 1L
+        while (j < nEv) {
+          val g = gapUs(user, j); t += g
+          if (g > 30L * minUs) { out += ((user, start, last, cnt)); start = t; cnt = 0L }
+          last = t; cnt += 1L; j += 1
+        }
+        if (nEv > 0) out += ((user, start, last, cnt))
+        out.toSeq
+      }.toDF("user_id", "s", "e", "n_events")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nTruth = truth.count()
+      val nBoth = sess.join(truth, Seq("user_id", "s", "e", "n_events"), "left_semi").count()
+      s.stop()
+      println(
+        s"""{"metric":"sessions_scale","cpus":$cpus,"n":$n,"sec":${f"$sec%.2f"},""" +
+        s""""events_per_sec":${f"${n / sec}%.1f"},"sessions":$nSess,"truth_sessions":$nTruth,""" +
+        s""""matched":$nBoth,"exact_match":${nSess == nTruth && nBoth == nSess}}""")
+
     case "control" :: threadsStr :: rest if rest.size <= 1 =>
       // Pure-JVM control: the tokenizer kernel across a thread pool —
       // measures THIS VM's thread-scaling ceiling so the crawl's scaling can
@@ -218,7 +281,7 @@ object ScalingBench {
       println(s"""{"metric":"control","threads":$threads,"sec":${f"$sec%.2f"},"docs":$docs,"docs_per_sec":${f"${docs / sec}%.1f"},"docs_per_sec_per_thread":${f"${docs / sec / threads}%.1f"}}""")
 
     case _ =>
-      System.err.println("usage: ScalingBench gen <n> | run <cpus> <n> | kernel <cpus> <n> | dedup <cpus> <n> | substr <cpus> <n> | control <threads> [nDocs]")
+      System.err.println("usage: ScalingBench gen <n> | run <cpus> <n> | kernel <cpus> <n> | dedup <cpus> <n> | substr <cpus> <n> | sessions <cpus> <n> | control <threads> [nDocs]")
       sys.exit(2)
   }
 }
