@@ -455,6 +455,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(st.count() == joined.filter($"lang_pred" === "en").count())
   }
 
+  test("top n-grams: counts and deterministic tie-break on the crafted corpus") {
+    // "the quick brown fox jumps over the lazy dog and runs far away"
+    // appears in docs 0,1,2 → its bigrams dominate
+    val top = TextAnalysis.topNgrams(crafted, n = 2, k = 5).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(top.head._2 == 3L, s"top bigram should occur 3x: ${top.toSeq}")
+    assert(top.map(_._2).sorted.reverse.sameElements(top.map(_._2)), "sorted by count desc")
+    // ties at equal count are in gram order (deterministic cut)
+    val tied = top.filter(_._2 == top.head._2).map(_._1)
+    assert(tied.sameElements(tied.sorted), s"tie order not lexicographic: ${tied.toSeq}")
+  }
+
   test("corpus stats: per-language report consistent with the row-level operators") {
     val st = TextAnalysis.corpusStats(docs).collect()
     assert(st.map(_.getAs[Long]("n_docs")).sum == docs.count())
