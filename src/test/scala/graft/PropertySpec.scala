@@ -135,4 +135,39 @@ class PropertySpec extends AnyFunSuite {
       assert(viaAdaptive == expected, s"adaptive dispatch diverged: t=$t docs=$docs")
     }
   }
+
+  test("property: as-of join equals the brute-force local reference on random instances") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // right-side (key, ts) stays unique per instance (the documented
+    // contract for deterministic matching); nulls, missing keys, equal-ts
+    // left/right, and empty-history lefts all occur by construction
+    (0 until 6).foreach { i =>
+      val rnd = new scala.util.Random(1000 + i)
+      val keys = (0 until 6).map(k => s"k$k")
+      val right: Seq[(String, Option[Long], Option[Long], Long)] =
+        keys.flatMap { k =>
+          rnd.shuffle((0 until 40).toList).take(rnd.nextInt(12)).map(t =>
+            (k, Some(t.toLong), if (rnd.nextBoolean()) Some(rnd.nextLong(100)) else None,
+              rnd.nextLong(1000)))
+        } ++ Seq(("k0", None, Some(999L), -1L)) // null ts must never match
+      val left: Seq[(String, Long)] =
+        (keys :+ "missing").flatMap(k => Seq.fill(1 + rnd.nextInt(6))((k, rnd.nextLong(50))))
+      val out = graft.operators.AsofJoin.asofJoin(
+        left.toDF("u", "ts"), right.toDF("u", "ts", "v", "w"),
+        on = "ts", by = Seq("u"), rightCols = Seq("ts", "v", "w"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long]))).sorted
+      val expected = left.map { case (u, t) =>
+        right.filter(r => r._1 == u && r._2.exists(_ <= t))
+          .sortBy(_._2.get).lastOption match {
+          case Some((_, ts, v, w)) => (u, t, ts, v, Some(w))
+          case None => (u, t, None, None, None)
+        }
+      }.sorted
+      assert(out.toSeq == expected, s"instance $i diverged")
+    }
+  }
 }
