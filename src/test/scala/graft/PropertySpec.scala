@@ -170,4 +170,35 @@ class PropertySpec extends AnyFunSuite {
       assert(out.toSeq == expected, s"instance $i diverged")
     }
   }
+
+  test("property: batch sessionization equals the local island scan on random instances") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    (0 until 6).foreach { i =>
+      val rnd = new scala.util.Random(2000 + i)
+      // events per user at random minute offsets (duplicate ts allowed —
+      // equal-ts events always share a session, gap 0)
+      val events = (0 until 5).flatMap { u =>
+        Seq.fill(1 + rnd.nextInt(30))(
+          (u.toLong, rnd.nextLong(100000), new java.sql.Timestamp(
+            1700000000000L + rnd.nextInt(12 * 60) * 60000L)))
+      }.zipWithIndex.map { case ((u, _, ts), idx) => (u, idx.toLong, ts) }
+      val out = graft.streaming.StreamOps
+        .sessionizeBatch(events.toDF("user_id", "event_id", "ts"))
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          r.getTimestamp(2).getTime, r.getLong(3))).sorted
+      val expected = events.groupBy(_._1).toSeq.flatMap { case (u, evs) =>
+        val ts = evs.map(_._3.getTime).sorted
+        val sessions = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        var start = ts.head; var last = ts.head; var cnt = 0L
+        ts.foreach { t =>
+          if (t - last > 30 * 60000L) { sessions += ((u, start, last, cnt)); start = t; cnt = 0L }
+          last = t; cnt += 1L
+        }
+        sessions += ((u, start, last, cnt))
+        sessions
+      }.sorted
+      assert(out.toSeq == expected, s"instance $i diverged")
+    }
+  }
 }
