@@ -621,14 +621,17 @@ object SparkEntry {
   }
 
   /** Per-language corpus report: the lang-id and quality subqueries joined
-    * and re-aggregated in DuckDB (mean over the same 4-decimal
-    * quality_score column the Spark side pre-rounds). */
+    * and re-aggregated in DuckDB. mean_quality mirrors the operator's
+    * deterministic formulation exactly: the 4-decimal quality_score scales
+    * to an exact 10^4-integer, sums as BIGINT (order-free), and one double
+    * division closes — no float-summation-order hash risk (round-3
+    * VERDICT #1). */
   private val corpusStatsSql =
     s"""SELECT l.lang_pred,
        |       count(*) AS n_docs,
        |       sum(q.n_tokens) AS total_tokens,
        |       round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM documents), 4) AS doc_share,
-       |       round(avg(q.quality_score), 4) AS mean_quality
+       |       sum(CAST(round(q.quality_score * 10000) AS BIGINT)) / (count(*) * 10000.0) AS mean_quality
        |FROM ($langIdSql) l JOIN ($qualitySql) q USING (doc_id)
        |GROUP BY l.lang_pred ORDER BY l.lang_pred""".stripMargin
 
@@ -702,6 +705,20 @@ object SparkEntry {
         ev.filter(col("event_type") === "purchase"),
         ev.filter(col("event_type") === "view"),
         rightCols = Seq("ts", "event_id"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_ts").as("view_ts"), col("asof_event_id").as("view_event_id"))
+        .orderBy("event_id")
+    }),
+    // the hot-key SHARDED as-of path against the SAME native-ASOF oracle:
+    // maxKeyRows=10 forces most users through the coarse time-bucket split
+    // + boundary-carry machinery, so the driver gate proves it hash-exact
+    "q_asof_join_sharded" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      AsofJoin.asofJoin(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "view"),
+        rightCols = Seq("ts", "event_id"),
+        maxKeyRows = 10)
         .select(col("event_id"), col("user_id"), col("ts"),
           col("asof_ts").as("view_ts"), col("asof_event_id").as("view_event_id"))
         .orderBy("event_id")
@@ -1061,6 +1078,7 @@ object SparkEntry {
         |ORDER BY n DESC, gram LIMIT 100""".stripMargin,
     "corpus_split" -> corpusSplitSql,
     "q_asof_join" -> asofJoinSql,
+    "q_asof_join_sharded" -> asofJoinSql,
     "q_sessions" -> sessionsSql,
     "q_event_percentiles" ->
       """SELECT event_type,

@@ -82,6 +82,10 @@ object GraftFunctions {
     })
 
   def registerAll(spark: SparkSession): Unit = {
+    // idempotent: a re-register WARNs ("replaced a previously registered
+    // function") on every call — register once per session
+    if (spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("url_canonicalize"))) return
     spark.udf.register("url_canonicalize", url_canonicalize)
     spark.udf.register("url_join", url_join)
     spark.udf.register("url_domain", url_domain)

@@ -63,8 +63,13 @@ object TextExpressions {
 
   /** Idempotent registration (same bridge as UrlExpressions: the Column
     * companion is private to Spark in 4.x, so SQL registration +
-    * call_function is the public path to a custom expression). */
-  def registerAll(spark: SparkSession): Unit =
+    * call_function is the public path to a custom expression). Skips when
+    * already registered — re-registering logs a "replaced a previously
+    * registered function" WARN per call, which buried real warnings in
+    * every suite/bench log. */
+  def registerAll(spark: SparkSession): Unit = {
+    if (spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sig_native"))) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig_native", { exprs =>
         require(exprs.length == 3,
@@ -78,6 +83,7 @@ object TextExpressions {
         }
         MinhashSig(exprs.head, intArg(exprs(1), "k"), intArg(exprs(2), "numPerms"))
       }, "built-in")
+  }
 
   def minhash_sig_native(c: Column, k: Int, numPerms: Int): Column =
     org.apache.spark.sql.functions.call_function("minhash_sig_native", c,

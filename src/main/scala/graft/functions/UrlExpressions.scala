@@ -125,8 +125,11 @@ object UrlExpressions {
   /** Register the native expressions; use them as columns via
     * `functions.call_function("url_strip_fragment_native", c)` (the Column
     * companion is private to Spark in 4.x, so SQL registration is the
-    * public bridge). */
+    * public bridge). Skips when already registered (re-registration WARNs
+    * on every call — log noise, see TextExpressions.registerAll). */
   def registerAll(spark: SparkSession): Unit = {
+    if (spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("url_strip_fragment_native"))) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "url_strip_fragment_native", exprs => UrlStripFragment(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -40,6 +40,12 @@ object Sampling {
    * (~1e-3 relative at 10^6 docs), membership is exact and permanent for
    * a given salt. The sampling variants below keep their bookkeeping
    * under a reserved internal name instead, so caller columns survive.
+   *
+   * Null ids get (bucket, split) = (null, null) — explicitly unassigned,
+   * never silently folded into the last label — consistent with the
+   * sampling variants, whose bucket-range predicates are null-false and
+   * therefore DROP null-id rows (round-3 ADVICE: the two paths must agree
+   * that a null id belongs to no split and no sample).
    */
   def hashSplit(docs: DataFrame, idCol: String = "doc_id", salt: Long = 0L,
                 weights: Seq[(String, Double)] =
@@ -48,9 +54,12 @@ object Sampling {
     require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9, "weights must sum to 1")
     val cuts = weights.map(_._1).zip(
       weights.scanLeft(0.0)(_ + _._2).tail.map(c => math.round(c * Buckets)))
-    val splitCol = cuts.dropRight(1).foldRight(lit(cuts.last._1): Column) {
+    val labels = cuts.dropRight(1).foldRight(lit(cuts.last._1): Column) {
       case ((name, cut), rest) => when(col("bucket") < cut, lit(name)).otherwise(rest)
     }
+    // a null bucket (null id: the primitive-arg UDF null-propagates) must
+    // not fall through every `when` into the last label
+    val splitCol = when(col("bucket").isNull, lit(null).cast("string")).otherwise(labels)
     docs.withColumn("bucket", bucketUdf(salt)(col(idCol)))
       .withColumn("split", splitCol)
   }

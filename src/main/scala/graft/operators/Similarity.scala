@@ -99,7 +99,12 @@ object Similarity {
       private[operators] val centersBc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]) {
     def nlist: Int = codebook.length
     def close(): Unit = {
-      assigned.unpersist()
+      // an ivfAdd-produced assignment is a localCheckpoint (LogicalRDD):
+      // release its blocks directly — Dataset.unpersist is a no-op there
+      assigned.queryExecution.logical match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+        case _ => assigned.unpersist()
+      }
       centersBc.destroy()
     }
   }
@@ -183,9 +188,11 @@ object Similarity {
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("cell", assignUdf(col("cv")))
       .select("neighbor_id", "cv", "cell")
-    val union = index.assigned.unionByName(added)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    union.count() // materialize while the input index is still guaranteed live
+    // localCheckpoint (not persist+count): truly severs the union's lineage
+    // from the input index's assigned plan AND this assignUdf's broadcast —
+    // after either close(), a lost cached block recomputed from lineage
+    // would otherwise throw "broadcast destroyed" (round-3 ADVICE)
+    val union = index.assigned.unionByName(added).localCheckpoint(true)
     IvfIndex(index.codebook, union, centersBc)
   }
 

@@ -50,27 +50,31 @@ object TextAnalysis {
    * Both signals are row-local, so they compute in ONE map pass (no join
    * between them) followed by one aggregation on the language key: at
    * 100 TB that's a map-side-combined shuffle delivering a handful of
-   * rows per partition (one per distinct lang), and the share window
-   * runs over the already-tiny grouped frame.
+   * rows per partition (one per distinct lang). The corpus share divides
+   * by a one-row scalar total broadcast back onto the grouped frame — NOT
+   * an unpartitioned window, which would single-partition the plan.
+   *
+   * mean_quality is DETERMINISTIC across engines and summation orders:
+   * per-row scores round to 4 decimals, scale to exact 10^4-integers, and
+   * SUM as 64-bit integers (order-free); the single closing double
+   * division is IEEE-identical everywhere. A float mean re-ordered by the
+   * engine can land on a rounding boundary and flip the 4th decimal —
+   * that class of correctness-gate flake is designed out here.
    * Returns (lang_pred, n_docs, total_tokens, doc_share, mean_quality).
    */
   def corpusStats(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = docs
       .select(langIdUdf(col(textCol)).as("lang_pred"), qualityUdf(col(textCol)).as("q"))
       .select(col("lang_pred"), col("q.nTokens").as("n_tokens"), col("q.score").as("quality_score"))
-    base.groupBy("lang_pred")
+    val grouped = base.groupBy("lang_pred")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").as("total_tokens"),
-        // per-row scores are rounded first so the mean matches an oracle
-        // computing over its own 4-decimal quality_score column; the
-        // remaining cross-engine risk is summation-order noise (~1e-13
-        // relative over ~10^4 rows) landing a mean exactly on a 0.00005
-        // boundary — a ~1e-9 coincidence, accepted
-        round(avg(round(col("quality_score"), 4)), 4).as("mean_quality"))
-      .withColumn("doc_share",
-        round(col("n_docs") / sum(col("n_docs")).over(Window.partitionBy()), 4))
-      .select("lang_pred", "n_docs", "total_tokens", "doc_share", "mean_quality")
+        sum(round(round(col("quality_score"), 4) * 10000).cast("long")).as("q_scaled"))
+    val total = grouped.agg(sum("n_docs").as("grand_docs"))
+    grouped.crossJoin(broadcast(total))
+      .select(col("lang_pred"), col("n_docs"), col("total_tokens"),
+        round(col("n_docs") / col("grand_docs"), 4).as("doc_share"),
+        (col("q_scaled").cast("double") / (col("n_docs") * lit(10000.0))).as("mean_quality"))
   }
 
   /**

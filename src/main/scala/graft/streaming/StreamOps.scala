@@ -148,6 +148,14 @@ object StreamOps {
    * boilerplate bucket cannot grow without bound); a pair sharing several
    * buckets is emitted once per bucket, so consumers dedupe on
    * (id_a, id_b) — exactly what the batch operator's `distinct` does.
+   *
+   * `stateTtl` (e.g. "1 hour") bounds the number of state KEYS, which
+   * otherwise grows with the count of distinct buckets for the stream's
+   * lifetime: a bucket idle for the TTL is evicted wholesale (processing-
+   * time timeout), so a near-dup of a doc last seen before the horizon is
+   * missed — the same bounded-state tradeoff ingestDedupStream documents,
+   * with the batch operator as the terminal authority. None (the default)
+   * keeps the exact unbounded-state behavior.
    */
   final case class DocSig(id: Long, sig: Seq[Long])
   final case class BucketState(docs: Seq[DocSig])
@@ -155,7 +163,8 @@ object StreamOps {
 
   def minhashPairsStream(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                          k: Int = 3, numPerms: Int = 64, bands: Int = 16,
-                         threshold: Double = 0.5, maxBucket: Int = 64): Dataset[StreamPair] = {
+                         threshold: Double = 0.5, maxBucket: Int = 64,
+                         stateTtl: Option[String] = None): Dataset[StreamPair] = {
     import docs.sparkSession.implicits._
     implicit val stateEnc = Encoders.product[BucketState]
     implicit val outEnc = Encoders.product[StreamPair]
@@ -174,22 +183,30 @@ object StreamOps {
       .as[(Long, Seq[Long], Int, Long)]
       .groupByKey { case (_, _, bandIdx, bandHash) => (bandIdx, bandHash) }
       .flatMapGroupsWithState[BucketState, StreamPair](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(),
+        if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+        else GroupStateTimeout.NoTimeout()) {
         case (_, rows, state: GroupState[BucketState]) =>
-          var members = state.getOption.map(_.docs).getOrElse(Seq.empty)
-          val out = Vector.newBuilder[StreamPair]
-          rows.foreach { case (id, sig, _, _) =>
-            if (!members.exists(_.id == id)) {
-              members.foreach { m =>
-                val est = graft.textkit.TextKit.minhashSimilarity(m.sig.toArray, sig.toArray)
-                if (est >= threshold)
-                  out += StreamPair(math.min(m.id, id), math.max(m.id, id), est)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var members = state.getOption.map(_.docs).getOrElse(Seq.empty)
+            val out = Vector.newBuilder[StreamPair]
+            rows.foreach { case (id, sig, _, _) =>
+              if (!members.exists(_.id == id)) {
+                members.foreach { m =>
+                  val est = graft.textkit.TextKit.minhashSimilarity(m.sig.toArray, sig.toArray)
+                  if (est >= threshold)
+                    out += StreamPair(math.min(m.id, id), math.max(m.id, id), est)
+                }
+                members = (members :+ DocSig(id, sig)).takeRight(maxBucket)
               }
-              members = (members :+ DocSig(id, sig)).takeRight(maxBucket)
             }
+            state.update(BucketState(members))
+            stateTtl.foreach(state.setTimeoutDuration)
+            out.result().iterator
           }
-          state.update(BucketState(members))
-          out.result().iterator
       }
   }
 
@@ -231,12 +248,15 @@ object StreamOps {
    * State: one entry per DISTINCT window seen (first occurrence + emitted
    * flag). Keyed by the window TEXT here for exactness at test scale; the
    * production keying is the batch operator's 128-bit hash — identical
-   * state shape at ~24 bytes per distinct window, and the key space can
-   * additionally be watermark-bounded the same way ingestDedupStream
-   * bounds its content hashes when the corpus horizon allows it.
+   * state shape at ~24 bytes per distinct window. `stateTtl` (e.g.
+   * "1 hour") bounds the key space: a window not seen again within the
+   * TTL is evicted (processing-time timeout), so only duplicates whose
+   * occurrences fall within the horizon are caught — bounded-state mode
+   * for open-ended streams; None keeps the exact default.
    */
   def substringDupWindowsStream(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-                                minLen: Int = 10): Dataset[DupWindow] = {
+                                minLen: Int = 10,
+                                stateTtl: Option[String] = None): Dataset[DupWindow] = {
     require(minLen >= 2, "minLen must be >= 2")
     import docs.sparkSession.implicits._
     implicit val stateEnc = Encoders.product[WinSeen]
@@ -252,27 +272,35 @@ object StreamOps {
       .as[(Long, Int, String)]
       .groupByKey(_._3)
       .flatMapGroupsWithState[WinSeen, DupWindow](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(),
+        if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+        else GroupStateTimeout.NoTimeout()) {
         case (_, rows, state: GroupState[WinSeen]) =>
-          val out = Vector.newBuilder[DupWindow]
-          var st = state.getOption
-          rows.foreach { case (id, pos, _) =>
-            st match {
-              case None => st = Some(WinSeen(id, pos, emitted = false))
-              case Some(s) =>
-                // a replayed (id,pos) identical to the stored first is not
-                // a second occurrence; anything else is
-                if (!(s.first_id == id && s.first_pos == pos)) {
-                  if (!s.emitted) {
-                    out += DupWindow(s.first_id, s.first_pos)
-                    st = Some(s.copy(emitted = true))
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val out = Vector.newBuilder[DupWindow]
+            var st = state.getOption
+            rows.foreach { case (id, pos, _) =>
+              st match {
+                case None => st = Some(WinSeen(id, pos, emitted = false))
+                case Some(s) =>
+                  // a replayed (id,pos) identical to the stored first is not
+                  // a second occurrence; anything else is
+                  if (!(s.first_id == id && s.first_pos == pos)) {
+                    if (!s.emitted) {
+                      out += DupWindow(s.first_id, s.first_pos)
+                      st = Some(s.copy(emitted = true))
+                    }
+                    out += DupWindow(id, pos)
                   }
-                  out += DupWindow(id, pos)
-                }
+              }
             }
+            st.foreach(state.update)
+            stateTtl.foreach(state.setTimeoutDuration)
+            out.result().iterator
           }
-          st.foreach(state.update)
-          out.result().iterator
       }
   }
 

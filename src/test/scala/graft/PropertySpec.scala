@@ -171,6 +171,35 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: hot-key sharded as-of join is identical to the unsharded path") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // one pathological key holds ~all rows (the 100×-scale failure mode:
+    // a single key too hot to sort in one task); maxKeyRows is tiny so the
+    // coarse time-bucket split + boundary carry actually engages, and
+    // right rows stop early so several later buckets contain ONLY left
+    // rows (the carry must span multiple right-free buckets)
+    (0 until 5).foreach { i =>
+      val rnd = new scala.util.Random(3000 + i)
+      val right: Seq[(String, Long, Long)] =
+        (if (i == 0) Seq(50L) // single right ts: key is hot but width 0 → unsharded fallback
+         else rnd.shuffle((0 until 150).toList).take(60).map(_.toLong))
+          .map(t => ("hot", t, rnd.nextLong(100))) ++
+          Seq(("cold", 10L, 7L), ("cold", 30L, 8L))
+      val left: Seq[(String, Long)] =
+        (if (i == 0) Seq.fill(200)(("hot", 77L))
+         else Seq.fill(300)(("hot", rnd.nextLong(400)))) ++
+          Seq.fill(5)(("cold", rnd.nextLong(50))) :+ (("missing", 5L))
+      def run(maxKeyRows: Long) = graft.operators.AsofJoin.asofJoin(
+        left.toDF("u", "ts"), right.toDF("u", "ts", "v"),
+        on = "ts", by = Seq("u"), rightCols = Seq("ts", "v"), maxKeyRows = maxKeyRows)
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long]))).toSeq.sorted
+      assert(run(40L) == run(Long.MaxValue), s"instance $i diverged")
+    }
+  }
+
   test("property: batch sessionization equals the local island scan on random instances") {
     val spark = TestSpark.spark
     import spark.implicits._
