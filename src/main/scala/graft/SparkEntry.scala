@@ -603,9 +603,9 @@ object SparkEntry {
     * 32-bit multiplies, mod 2^64), bucket = unsigned hash mod 10^6,
     * cumulative-weight CASE over the bucket. Must match
     * `Sampling.hashSplit` (TextKit.mix64 + remainderUnsigned) bit-exactly. */
-  private val corpusSplitSql = {
+  private def splitmixCtes(src: String): String = {
     val P64 = "18446744073709551616"
-    s"""WITH m0 AS (SELECT doc_id, CAST((CAST(doc_id AS HUGEINT) + 11400714819323198485) % $P64 AS UBIGINT) AS z1 FROM documents),
+    s"""m0 AS (SELECT doc_id, CAST((CAST(doc_id AS HUGEINT) + 11400714819323198485) % $P64 AS UBIGINT) AS z1 FROM $src),
        |m1 AS (SELECT doc_id, xor(z1, z1 >> 30) AS y1 FROM m0),
        |m2 AS (SELECT doc_id, CAST(((CAST(y1 & 4294967295 AS HUGEINT) * 13787848793156543929) % $P64
        |                           + ((CAST(y1 >> 32 AS HUGEINT) * 13787848793156543929) % 4294967296) * 4294967296)
@@ -614,11 +614,14 @@ object SparkEntry {
        |m4 AS (SELECT doc_id, CAST(((CAST(y2 & 4294967295 AS HUGEINT) * 10723151780598845931) % $P64
        |                           + ((CAST(y2 >> 32 AS HUGEINT) * 10723151780598845931) % 4294967296) * 4294967296)
        |                          % $P64 AS UBIGINT) AS w2 FROM m3),
-       |m5 AS (SELECT doc_id, CAST(xor(w2, w2 >> 31) % 1000000 AS BIGINT) AS bucket FROM m4)
+       |m5 AS (SELECT doc_id, CAST(xor(w2, w2 >> 31) % 1000000 AS BIGINT) AS bucket FROM m4)""".stripMargin
+  }
+
+  private val corpusSplitSql =
+    s"""WITH ${splitmixCtes("documents")}
        |SELECT doc_id, bucket,
        |  CASE WHEN bucket < 900000 THEN 'train' WHEN bucket < 950000 THEN 'val' ELSE 'test' END AS split
        |FROM m5 ORDER BY doc_id""".stripMargin
-  }
 
   /** Per-language corpus report: the lang-id and quality subqueries joined
     * and re-aggregated in DuckDB. mean_quality mirrors the operator's
@@ -634,6 +637,28 @@ object SparkEntry {
        |       sum(CAST(round(q.quality_score * 10000) AS BIGINT)) / (count(*) * 10000.0) AS mean_quality
        |FROM ($langIdSql) l JOIN ($qualitySql) q USING (doc_id)
        |GROUP BY l.lang_pred ORDER BY l.lang_pred""".stripMargin
+
+  /** Report-then-split publishing flow, chained in ONE DuckDB statement:
+    * exact-dedup survivors → deterministic hash split → per-(split, lang)
+    * corpus report with the integer-scaled deterministic mean. Locks the
+    * corpusStats fix behind a fused oracle (round-3 VERDICT #8). */
+  private val pipelineReportE2eSql =
+    s"""WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |${splitmixCtes("documents")},
+       |sp AS (SELECT doc_id,
+       |  CASE WHEN bucket < 900000 THEN 'train' WHEN bucket < 950000 THEN 'val' ELSE 'test' END AS split
+       |  FROM m5)
+       |SELECT sp.split, l.lang_pred,
+       |       count(*) AS n_docs,
+       |       sum(q.n_tokens) AS total_tokens,
+       |       round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM surv), 4) AS doc_share,
+       |       sum(CAST(round(q.quality_score * 10000) AS BIGINT)) / (count(*) * 10000.0) AS mean_quality
+       |FROM surv
+       |JOIN sp USING (doc_id)
+       |JOIN ($langIdSql) l USING (doc_id)
+       |JOIN ($qualitySql) q USING (doc_id)
+       |GROUP BY sp.split, l.lang_pred
+       |ORDER BY sp.split, l.lang_pred""".stripMargin
 
   private val annLshRecallSql = {
     val rows = (0 until 10).map(i => s"(CAST($i AS BIGINT), true)").mkString(", ")
@@ -730,6 +755,24 @@ object SparkEntry {
       Dedup.minhashLshPairs(s.read.parquet(s"$dir/documents.parquet"), threshold = 0.3)
         .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
         .orderBy("id_a", "id_b")),
+    // INCREMENTAL minhash: fit on the even-id half, add the odd-id half
+    // (near-dup mutant groups sit on consecutive ids, so the add path's
+    // new-vs-old machinery carries most pairs), then old-batch pairs ∪
+    // add pairs must equal the from-scratch full-corpus pairs — the SAME
+    // HUGEINT DuckDB oracle as dedup_minhash_pairs
+    "dedup_minhash_add" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val oldDocs = docs.filter(col("doc_id") % 2 === 0)
+      val newDocs = docs.filter(col("doc_id") % 2 === 1)
+      val oldPairs = Dedup.minhashLshPairs(oldDocs, threshold = 0.3)
+      val idx = Dedup.minhashFit(oldDocs)
+      val (idx2, addPairs) =
+        try Dedup.minhashAdd(idx, newDocs, threshold = 0.3) finally idx.close()
+      idx2.close() // addPairs is already materialized; only the union survives
+      oldPairs.unionByName(addPairs)
+        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
     // exact set-similarity join, threshold-adaptive: t=0.3 dispatches to
     // the naive inverted-index join (prefixes barely shrink there — the
     // measured-faster regime), checked against the all-pairs DuckDB oracle
@@ -831,6 +874,15 @@ object SparkEntry {
         Seq("doc_id"))
       val surv = kept.join(Dedup.exactSurvivors(kept).select("doc_id"), Seq("doc_id"))
       Dedup.stripDuplicatedSpans(surv, minLen = 10).orderBy("doc_id")
+    }),
+    // report-then-split: exact dedup → deterministic hash split → per-
+    // (split, lang) corpus report — the publishing flow, oracled as one
+    // chained DuckDB statement
+    "pipeline_report_e2e" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val kept = docs.join(Dedup.exactSurvivors(docs).select("doc_id"), Seq("doc_id"))
+      TextAnalysis.corpusStats(Sampling.hashSplit(kept), extraKeys = Seq("split"))
+        .orderBy("split", "lang_pred")
     }),
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(s.read.parquet(s"$dir/documents.parquet"))
@@ -1054,12 +1106,14 @@ object SparkEntry {
     "pipeline_e2e" -> pipelineE2eSql,
     "pipeline_docs_e2e" -> pipelineDocsE2eSql,
     "pipeline_corpus_e2e" -> pipelineCorpusE2eSql,
+    "pipeline_report_e2e" -> pipelineReportE2eSql,
     "dedup_minhash_recall" -> minhashRecallSql,
     "dedup_survivors" -> dedupSurvivorsSql,
     "dedup_simhash_pairs" -> simhashPairsSql,
     "dedup_substring_spans" -> substringSpansSql,
     "dedup_substring_strip" -> substringStripSql,
     "dedup_minhash_pairs" -> minhashPairsSql,
+    "dedup_minhash_add" -> minhashPairsSql,
     "dedup_embedding_neardup" -> embeddingNearDupSql,
     "text_tokens_bpeish" -> bpeishSql,
     "text_quality" -> qualitySql,

@@ -123,6 +123,103 @@ object Dedup {
     materialized(out) { sigs.unpersist() }
   }
 
+  /**
+   * Persisted MinHash signature index — the dedup analogue of the IVF
+   * fit/add/save/load split, for a continuously-ingesting corpus: compute
+   * signatures ONCE per doc, store them, and when a new batch arrives
+   * emit only the pairs that involve a new doc — old text is never
+   * re-tokenized and old signatures are never recomputed. At 100 TB the
+   * signature table (id + numPerms longs) IS a stored column; the add
+   * path's joins shuffle only band keys and candidate ids.
+   */
+  final case class MinhashIndex private[operators] (sigs: DataFrame) {
+    /** Release the checkpointed signature blocks — traverses the plan so
+      * the union an `minhashAdd` chain builds (LogicalRDD leaves under
+      * Union nodes) is released too; unpersist is idempotent, so closing
+      * both an input index and its add-result is safe. */
+    def close(): Unit = {
+      var found = false
+      sigs.queryExecution.logical.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(false); found = true
+        case _ => ()
+      }
+      if (!found) sigs.unpersist()
+    }
+  }
+
+  /** Build the signature index for a corpus (materialized eagerly — fit is
+    * a build step, not query work; lineage to the docs scan is severed). */
+  def minhashFit(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                 k: Int = 3, numPerms: Int = 64): MinhashIndex =
+    MinhashIndex(minhashSignatures(docs, textCol, idCol, k, numPerms).localCheckpoint(true))
+
+  /** Persist the signature index as parquet — across sessions/processes,
+    * mirroring ivfSave. */
+  def minhashSave(index: MinhashIndex, path: String): Unit =
+    index.sigs.write.mode("overwrite").parquet(path)
+
+  def minhashLoad(spark: org.apache.spark.sql.SparkSession, path: String): MinhashIndex =
+    MinhashIndex(spark.read.parquet(path).localCheckpoint(true))
+
+  /**
+   * Incremental near-dup detection: sign ONLY the new batch, and emit the
+   * verified pairs with at least one new endpoint — new-vs-old pairs
+   * surface the moment the new doc arrives, old-old pairs are never
+   * re-derived (they were emitted when THEIR batch arrived). Candidate
+   * generation reuses the batch kernel over (old ∪ new) band buckets but
+   * prunes, BEFORE any pair explodes, to buckets containing ≥ 1 new id
+   * (a semi-join on the new batch's band keys); old-only buckets are
+   * untouched. add-then-union ≡ recompute-from-scratch exactly (oracled in
+   * SparkEntry) as long as no bucket crosses `maxBucket` — a capped bucket
+   * slices differently once new ids sort into it, the same visibility
+   * tradeoff the batch cap metric reports.
+   * Returns (index covering old ∪ new, pairs DataFrame (id_a, id_b,
+   * est_jaccard)); ids must be unique across ALL batches (same contract
+   * as the batch operator).
+   */
+  def minhashAdd(index: MinhashIndex, newDocs: DataFrame,
+                 textCol: String = "text", idCol: String = "doc_id",
+                 k: Int = 3, numPerms: Int = 64, bands: Int = 16,
+                 threshold: Double = 0.5, maxBucket: Int = 1000): (MinhashIndex, DataFrame) = {
+    val newSigs = minhashSignatures(newDocs, textCol, idCol, k, numPerms).localCheckpoint(true)
+    val all = index.sigs.unionByName(newSigs)
+    val buckets = all
+      .select(col("id"), explode(bandsUdf(col("sig"), lit(bands))).as("band"))
+      .select(col("id"), col("band._1").as("band_idx"), col("band._2").as("band_hash"))
+    val newBandKeys = newSigs
+      .select(explode(bandsUdf(col("sig"), lit(bands))).as("band"))
+      .select(col("band._1").as("band_idx"), col("band._2").as("band_hash"))
+      .distinct()
+    val grouped = buckets.groupBy("band_idx", "band_hash")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .join(newBandKeys, Seq("band_idx", "band_hash"), "left_semi")
+      .observe("minhash_add_bucket_cap",
+        sum(greatest(size(col("ids")) - maxBucket, lit(0))).as("capped_ids_dropped"),
+        max(size(col("ids"))).as("max_bucket_size"))
+      .withColumn("ids", slice(col("ids"), 1, maxBucket))
+    val newIds = newSigs.select("id")
+    val pairs = grouped
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .distinct()
+      // old-old pairs sharing a bucket with a new id were already emitted
+      // by their own batch — keep only pairs touching the new batch
+      .join(newIds.select(col("id").as("id_a"), lit(true).as("_na")), Seq("id_a"), "left")
+      .join(newIds.select(col("id").as("id_b"), lit(true).as("_nb")), Seq("id_b"), "left")
+      .filter(col("_na").isNotNull || col("_nb").isNotNull)
+      .select("id_a", "id_b")
+    val out = pairs
+      .join(all.withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sig_a"), "id_a")
+      .join(all.withColumnRenamed("id", "id_b").withColumnRenamed("sig", "sig_b"), "id_b")
+      .withColumn("est_jaccard", jaccardUdf(col("sig_a"), col("sig_b")))
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+      .localCheckpoint(true)
+    (MinhashIndex(all), out)
+  }
+
   /** all ordered pairs of a (sorted, capped) id array — declarative, codegen'd. */
   private def pairsOf(ids: Column): Column =
     filter(

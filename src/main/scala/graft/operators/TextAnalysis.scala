@@ -60,21 +60,29 @@ object TextAnalysis {
    * division is IEEE-identical everywhere. A float mean re-ordered by the
    * engine can land on a rounding boundary and flip the 4th decimal —
    * that class of correctness-gate flake is designed out here.
-   * Returns (lang_pred, n_docs, total_tokens, doc_share, mean_quality).
+   *
+   * `extraKeys` prepend additional grouping columns from `docs` (e.g. the
+   * hashSplit label — the report-then-split publishing flow); doc_share
+   * stays relative to the WHOLE frame, not the extra-key stratum.
+   * Returns (extraKeys..., lang_pred, n_docs, total_tokens, doc_share,
+   * mean_quality).
    */
-  def corpusStats(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+  def corpusStats(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                  extraKeys: Seq[String] = Nil): DataFrame = {
     val base = docs
-      .select(langIdUdf(col(textCol)).as("lang_pred"), qualityUdf(col(textCol)).as("q"))
-      .select(col("lang_pred"), col("q.nTokens").as("n_tokens"), col("q.score").as("quality_score"))
-    val grouped = base.groupBy("lang_pred")
+      .select(extraKeys.map(col) ++ Seq(
+        langIdUdf(col(textCol)).as("lang_pred"), qualityUdf(col(textCol)).as("q")): _*)
+      .select(extraKeys.map(col) ++ Seq(col("lang_pred"),
+        col("q.nTokens").as("n_tokens"), col("q.score").as("quality_score")): _*)
+    val grouped = base.groupBy((extraKeys :+ "lang_pred").map(col): _*)
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").as("total_tokens"),
         sum(round(round(col("quality_score"), 4) * 10000).cast("long")).as("q_scaled"))
     val total = grouped.agg(sum("n_docs").as("grand_docs"))
     grouped.crossJoin(broadcast(total))
-      .select(col("lang_pred"), col("n_docs"), col("total_tokens"),
+      .select(extraKeys.map(col) ++ Seq(col("lang_pred"), col("n_docs"), col("total_tokens"),
         round(col("n_docs") / col("grand_docs"), 4).as("doc_share"),
-        (col("q_scaled").cast("double") / (col("n_docs") * lit(10000.0))).as("mean_quality"))
+        (col("q_scaled").cast("double") / (col("n_docs") * lit(10000.0))).as("mean_quality")): _*)
   }
 
   /**

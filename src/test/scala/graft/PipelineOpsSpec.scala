@@ -342,6 +342,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally loaded.close()
   }
 
+  test("incremental minhash: add-then-union equals recompute-from-scratch, through save/load") {
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSet
+    val full = pairSet(Dedup.minhashLshPairs(docs, threshold = 0.3))
+    assert(full.nonEmpty, "fixture must contain near-dups")
+    val oldDocs = docs.filter($"doc_id" % 2 === 0)
+    val newDocs = docs.filter($"doc_id" % 2 === 1)
+    val oldPairs = pairSet(Dedup.minhashLshPairs(oldDocs, threshold = 0.3))
+    // fit → save → load: the add path must work from a reloaded index
+    val dir = java.nio.file.Files.createTempDirectory("graft-mh-idx-").toString
+    val fitted = Dedup.minhashFit(oldDocs)
+    Dedup.minhashSave(fitted, dir)
+    fitted.close()
+    val loaded = Dedup.minhashLoad(spark, dir)
+    val (grown, addDf) = Dedup.minhashAdd(loaded, newDocs, threshold = 0.3)
+    try {
+      val addPairs = pairSet(addDf)
+      // every incremental pair touches the new batch — old-old pairs are
+      // never re-emitted
+      assert(addPairs.forall { case (a, b, _) => a % 2 == 1 || b % 2 == 1 })
+      assert(oldPairs ++ addPairs == full,
+        s"incremental union diverged: missing=${(full -- oldPairs -- addPairs).take(5)} " +
+          s"extra=${(oldPairs ++ addPairs -- full).take(5)}")
+      assert(grown.sigs.count() == docs.count())
+    } finally { grown.close(); loaded.close() }
+  }
+
   test("duplicated substring spans: planted boilerplate found exactly, runs merged") {
     val boiler = (1 to 12).map(i => s"B$i").mkString(" ")
     val phrase = (1 to 6).map(i => s"P$i").mkString(" ")
