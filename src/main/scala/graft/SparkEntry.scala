@@ -638,6 +638,65 @@ object SparkEntry {
        |FROM ($langIdSql) l JOIN ($qualitySql) q USING (doc_id)
        |GROUP BY l.lang_pred ORDER BY l.lang_pred""".stripMargin
 
+  /**
+   * BPE-training oracle scaffolding: re-derives the DETERMINISTIC merge
+   * sequence independently in DuckDB. Word-type frame w0 (word → padded
+   * space-joined codepoint symbols + count), then per merge round i:
+   * pair counts by list enumeration (p_i), argmax with the count-desc /
+   * pair-asc tie-break (b_i), and merge application as an ITERATED
+   * first-occurrence substring replacement (recursive CTE r_i) — provably
+   * equivalent to the Scala side's left-to-right scan, since a
+   * replacement cannot create a new match before its own position.
+   */
+  private def bpeCtes(numMerges: Int): String = {
+    // w_i and b_i MUST be MATERIALIZED: each is referenced several times by
+    // round i+1, and DuckDB's default CTE inlining would re-expand the
+    // whole chain per reference — exponential plan growth that exhausts
+    // file handles on the base scan long before round 8
+    val sb = new StringBuilder
+    sb ++= s"""w0 AS MATERIALIZED (
+       |  SELECT word, ' ' || array_to_string(regexp_extract_all(word, '.'), ' ') || ' ' AS cur, count(*) AS cnt
+       |  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents WHERE trim(text) <> '')
+       |  GROUP BY 1, 2)""".stripMargin
+    for (i <- 1 to numMerges) {
+      val pat = s"(SELECT ' ' || pr || ' ' FROM b$i)"
+      val rep = s"(SELECT ' ' || replace(pr, ' ', '') || ' ' FROM b$i)"
+      sb ++= s""",
+         |b$i AS MATERIALIZED (SELECT pr, c FROM (
+         |  SELECT pr, sum(cnt) AS c FROM (
+         |    SELECT cnt, unnest(list_transform(range(1, len(s)), j -> s[j] || ' ' || s[j+1])) AS pr
+         |    FROM (SELECT cnt, string_split(trim(cur), ' ') AS s FROM w${i - 1})) GROUP BY pr)
+         |  ORDER BY c DESC, pr LIMIT 1),
+         |r$i AS (
+         |  SELECT word, cnt, cur, strpos(cur, $pat) AS pos FROM w${i - 1}
+         |  UNION ALL
+         |  SELECT word, cnt, nc AS cur, strpos(nc, $pat) AS pos FROM (
+         |    SELECT word, cnt,
+         |      substr(cur, 1, pos - 1) || $rep || substr(cur, pos + length($pat)) AS nc
+         |    FROM r$i WHERE pos > 0)),
+         |w$i AS MATERIALIZED (SELECT word, cnt, cur FROM r$i WHERE pos = 0)""".stripMargin
+    }
+    sb.toString
+  }
+
+  private val BpeMerges = 8
+
+  private val bpeMergesSql =
+    s"""WITH RECURSIVE ${bpeCtes(BpeMerges)}
+       |SELECT merge_rank, split_part(pr, ' ', 1) AS left_sym,
+       |       split_part(pr, ' ', 2) AS right_sym, c AS pair_count FROM (
+       |  ${(1 to BpeMerges).map(i => s"SELECT $i AS merge_rank, pr, c FROM b$i")
+           .mkString("\n  UNION ALL\n  ")}
+       |) ORDER BY merge_rank""".stripMargin
+
+  private val bpeTokensSql =
+    s"""WITH RECURSIVE ${bpeCtes(BpeMerges)}
+       |SELECT d.doc_id, sum(len(string_split(trim(w.cur), ' '))) AS bpe_tokens
+       |FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |      FROM documents WHERE trim(text) <> '') d
+       |JOIN w$BpeMerges w USING (word)
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
   /** Report-then-split publishing flow, chained in ONE DuckDB statement:
     * exact-dedup survivors → deterministic hash split → per-(split, lang)
     * corpus report with the integer-scaled deterministic mean. Locks the
@@ -967,6 +1026,18 @@ object SparkEntry {
       TextAnalysis.tokenCounts(s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), col("bpeish_tokens"))
         .orderBy("doc_id")),
+    // REAL learned-vocabulary tokenizer: train the deterministic BPE merge
+    // table on the corpus (8 merges) and count tokens under it; both the
+    // merge sequence and the per-doc counts are re-derived independently
+    // by the recursive DuckDB oracle
+    "text_bpe_merges" -> ((s, dir) =>
+      Bpe.mergeTable(s.read.parquet(s"$dir/documents.parquet"), numMerges = 8)
+        .orderBy("merge_rank")),
+    "text_bpe_tokens" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val merges = Bpe.train(docs, numMerges = 8)
+      Bpe.tokenCounts(docs, merges).orderBy("doc_id")
+    }),
     "text_alpha_counts" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), length(col("text")).as("n_chars"),
@@ -1116,6 +1187,8 @@ object SparkEntry {
     "dedup_minhash_add" -> minhashPairsSql,
     "dedup_embedding_neardup" -> embeddingNearDupSql,
     "text_tokens_bpeish" -> bpeishSql,
+    "text_bpe_merges" -> bpeMergesSql,
+    "text_bpe_tokens" -> bpeTokensSql,
     "text_quality" -> qualitySql,
     "text_lang_id" -> langIdSql,
     "text_fingerprint" -> fingerprintSql,

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.textkit.TextKit
 
 /** Training-data pipeline operators over the sf0.001 documents/embeddings
@@ -340,6 +340,52 @@ class PipelineOpsSpec extends AnyFunSuite {
         .collect().map(_.toString).sorted.toSeq
       assert(got == expected)
     } finally loaded.close()
+  }
+
+  test("BPE training: merge sequence equals an independent local reference") {
+    val corpus = Seq(
+      (0L, "low low low low low lower lower newest newest"),
+      (1L, "newest newest newest newest widest widest widest hug"),
+      (2L, ""), (3L, "   ")) // empty docs contribute nothing
+    val df = corpus.toDF("doc_id", "text")
+    // independent reference: word counts, then k rounds of (pair argmax by
+    // count desc / pair asc, sequential left-to-right merge)
+    def mergeSeq(syms: Vector[String], l: String, r: String): Vector[String] = {
+      val out = Vector.newBuilder[String]; var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) { out += (l + r); i += 2 }
+        else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    def localTrain(k: Int): Seq[(String, String, Long)] = {
+      var state = corpus.flatMap(_._2.trim.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, ws) => (w.map(_.toString).toVector, ws.size.toLong) }.toSeq
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      for (_ <- 1 to k) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+        state.foreach { case (syms, c) =>
+          syms.indices.dropRight(1).foreach(i => counts((syms(i), syms(i + 1))) += c)
+        }
+        if (counts.nonEmpty) {
+          val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, s"$l $r") }
+          out += ((l, r, c))
+          state = state.map { case (syms, cc) => (mergeSeq(syms, l, r), cc) }
+        }
+      }
+      out.toSeq
+    }
+    val merges = Bpe.train(df, numMerges = 6)
+    assert(merges.map(m => (m.left, m.right, m.count)) == localTrain(6),
+      s"merge sequence diverged: ${merges}")
+    assert(merges.map(_.rank) == (1 to 6))
+    // token counts via the word-type join equal direct per-doc application;
+    // whitespace-only docs are absent
+    val tc = Bpe.tokenCounts(df, merges).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = corpus.filter(_._2.trim.nonEmpty).map { case (id, t) =>
+      id -> t.trim.split("\\s+").map(w => Bpe.applyMerges(w, merges).length.toLong).sum
+    }.toMap
+    assert(tc == expected)
   }
 
   test("incremental minhash: add-then-union equals recompute-from-scratch, through save/load") {
