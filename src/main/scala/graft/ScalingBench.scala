@@ -245,6 +245,132 @@ object ScalingBench {
         s""""events_per_sec":${f"${n / sec}%.1f"},"sessions":$nSess,"truth_sessions":$nTruth,""" +
         s""""matched":$nBoth,"exact_match":${nSess == nTruth && nBoth == nSess}}""")
 
+    case "sessions_stream" :: cpusStr :: nStr :: Nil =>
+      // STREAMING sessionization at scale: the same deterministic event
+      // universe as the `sessions` mode (per-user pseudo-random 1..50-min
+      // gaps), fed event-time-ordered through flatMapGroupsWithState and
+      // flushed by two far-future sentinel batches, then compared for
+      // EXACT set equality against the per-user local truth. The source is
+      // a parquet FILE stream (one time-chunk file per micro-batch,
+      // mod-time ordered via maxFilesPerTrigger=1) — a MemoryStream would
+      // serialize every row through the DRIVER encoder and measure that,
+      // not the engine. Also reports the post-flush state row count — the
+      // proof that the event-time timeout actually evicts session state.
+      val cpus = cpusStr.toInt
+      val n = nStr.toLong
+      val s = Bench.buildSession(cpus, s"graft-sessions-stream-$cpus")
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val perUser = 100L
+      val baseUs = 1700000000000000L
+      val minUs = 60L * 1000000L
+      def gapUs(user: Long, j: Long): Long =
+        (java.lang.Math.floorMod(graft.textkit.TextKit.mix64(user * 1000003L + j), 50L) + 1L) * minUs
+      def tsUs(id: Long): Long = {
+        val user = id / perUser; val off = id % perUser
+        var t = baseUs; var j = 1L
+        while (j <= off) { t += gapUs(user, j); j += 1 }
+        t
+      }
+      // distributed generation (untimed), then one file per time chunk,
+      // mod-times strictly increasing so the file source replays in order
+      val batches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "10").toInt
+      val parts = cpus * 4
+      val eventsDf = s.range(0, n, 1, parts)
+        .select(col("id").as("event_id"), (col("id") / perUser).cast("long").as("user_id"))
+        .withColumn("us", udf((id: Long) => tsUs(id)).apply(col("event_id")))
+        .withColumn("ts", timestamp_micros(col("us")))
+        .withColumn("event_type", lit("v")).withColumn("value", lit(1.0))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val maxUs = eventsDf.agg(max("us")).head.getLong(0)
+      val width = (maxUs - baseUs) / batches + 1
+      val watch = java.nio.file.Files.createTempDirectory("graft-sess-stream-").toString
+      val stage = java.nio.file.Files.createTempDirectory("graft-sess-stage-").toString
+      // each time chunk lands as `filesPerChunk` parquet files sharing one
+      // mod time; maxFilesPerTrigger = filesPerChunk then makes every
+      // micro-batch exactly one chunk, and the SCAN of a batch
+      // parallelizes across cores instead of being one task per batch
+      val filesPerChunk = 8
+      def publish(df: org.apache.spark.sql.DataFrame, i: Int): Unit = {
+        val tmp = s"$stage/c$i"
+        df.select("event_id", "ts", "user_id", "event_type", "value")
+          .repartition(filesPerChunk).write.mode("overwrite").parquet(tmp)
+        val parts0 = java.nio.file.Files.list(java.nio.file.Paths.get(tmp)).iterator()
+        val srcs = scala.jdk.CollectionConverters.IteratorHasAsScala(parts0).asScala
+          .filter(_.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+        srcs.zipWithIndex.foreach { case (src, j) =>
+          val dst = java.nio.file.Paths.get(watch, f"chunk-$i%05d-$j%03d.parquet")
+          java.nio.file.Files.move(src, dst)
+          dst.toFile.setLastModified(1700000000000L + i * 10000L)
+        }
+      }
+      (0 until batches).foreach { i =>
+        publish(eventsDf.filter(col("us") >= baseUs + i.toLong * width
+          && col("us") < baseUs + (i + 1).toLong * width), i)
+      }
+      val maxTs = maxUs / 1000L
+      // sentinel chunks flush every session once the watermark passes it
+      def sentinel(i: Int, tsMs: Long): Unit =
+        publish(s.range(1).select(lit(-i.toLong).as("event_id"),
+          timestamp_millis(lit(tsMs)).as("ts"), lit(-1L).as("user_id"),
+          lit("v").as("event_type"), lit(1.0).as("value")), batches + i)
+      sentinel(1, maxTs + 3600000L)
+      sentinel(2, maxTs + 7200000L)
+      eventsDf.unpersist()
+      val stream = s.readStream.schema(
+          "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", filesPerChunk.toString).parquet(watch)
+        .as[graft.streaming.StreamOps.Event]
+      // sink = per-batch DISTRIBUTED count + order-independent checksum
+      // (sum of xxhash64 over the session tuple): a memory sink would
+      // funnel every emitted session through the driver inside the timed
+      // loop and dominate the measurement
+      val nSess = new java.util.concurrent.atomic.AtomicLong
+      val hSess = new java.util.concurrent.atomic.AtomicLong
+      val sessKey = Seq(col("user_id"),
+        unix_micros(col("start").cast("timestamp")).as("su"),
+        unix_micros(col("end").cast("timestamp")).as("eu"),
+        col("n_events").cast("long").as("ne"))
+      val t0 = System.nanoTime()
+      val q = graft.streaming.StreamOps.sessionize(stream, gapMinutes = 30)
+        .writeStream.foreachBatch {
+          (ds: org.apache.spark.sql.Dataset[graft.streaming.StreamOps.SessionOut], _: Long) =>
+            val r = ds.filter(col("user_id") >= 0).select(sessKey: _*)
+              .agg(count(lit(1)),
+                bit_xor(xxhash64(col("user_id"), col("su"), col("eu"), col("ne")))).head()
+            nSess.addAndGet(r.getLong(0))
+            if (!r.isNullAt(1)) hSess.accumulateAndGet(r.getLong(1), (a, b) => a ^ b)
+            ()
+        }.start()
+      q.processAllAvailable()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      q.stop()
+      // truth: the same island scan as the `sessions` mode reference,
+      // reduced through the identical checksum
+      val users = (n + perUser - 1) / perUser
+      val truthRow = s.range(0, users, 1, parts).flatMap { user =>
+        val nEv = math.min(perUser, n - user * perUser)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        var start = baseUs; var last = baseUs; var cnt = 1L; var t = baseUs
+        var j = 1L
+        while (j < nEv) {
+          val g = gapUs(user, j); t += g
+          if (g > 30L * minUs) { out += ((user, start, last, cnt)); start = t; cnt = 0L }
+          last = t; cnt += 1L; j += 1
+        }
+        if (nEv > 0) out += ((user, start, last, cnt))
+        out.toSeq
+      }.toDF("user_id", "su", "eu", "ne")
+        .agg(count(lit(1)), bit_xor(xxhash64(col("user_id"), col("su"), col("eu"), col("ne")))).head()
+      s.stop()
+      val matches = nSess.get == truthRow.getLong(0) && hSess.get == truthRow.getLong(1)
+      println(
+        s"""{"metric":"sessions_stream_scale","cpus":$cpus,"n":$n,"sec":${f"$sec%.2f"},""" +
+        s""""events_per_sec":${f"${n / sec}%.1f"},"sessions":${nSess.get},""" +
+        s""""truth_sessions":${truthRow.getLong(0)},"exact_match":$matches,""" +
+        s""""final_state_rows":$stateRows}""")
+
     case "control" :: threadsStr :: rest if rest.size <= 1 =>
       // Pure-JVM control: the tokenizer kernel across a thread pool —
       // measures THIS VM's thread-scaling ceiling so the crawl's scaling can
@@ -281,7 +407,7 @@ object ScalingBench {
       println(s"""{"metric":"control","threads":$threads,"sec":${f"$sec%.2f"},"docs":$docs,"docs_per_sec":${f"${docs / sec}%.1f"},"docs_per_sec_per_thread":${f"${docs / sec / threads}%.1f"}}""")
 
     case _ =>
-      System.err.println("usage: ScalingBench gen <n> | run <cpus> <n> | kernel <cpus> <n> | dedup <cpus> <n> | substr <cpus> <n> | sessions <cpus> <n> | control <threads> [nDocs]")
+      System.err.println("usage: ScalingBench gen <n> | run <cpus> <n> | kernel <cpus> <n> | dedup <cpus> <n> | substr <cpus> <n> | sessions <cpus> <n> | sessions_stream <cpus> <n> | control <threads> [nDocs]")
       sys.exit(2)
   }
 }

@@ -350,6 +350,44 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(collectMap(resumed, seed) == expected)
   }
 
+  test("resume after a crash MID-commit: orphan temp manifest and data never count as a commit") {
+    // The TableIO commit contract is write-data-first, write-temp-manifest,
+    // ATOMIC-rename-manifest-last. A crash between the data write and the
+    // rename leaves round data + a .tmp manifest but NO committed manifest;
+    // latestRound must ignore both and resume must reproduce the exact
+    // final state (the interrupted round is re-run and its data overwritten).
+    val seed = "http://127.0.0.1:8000/start"
+    val dir = java.nio.file.Files.createTempDirectory("graft-midcommit-").toString
+    val run = new CrawlEngine(spark, pages, CrawlConfig(), dir).crawl(seed)
+    val expected = collectMap(run, seed)
+    val lastRound = run.lastRound
+    assert(lastRound >= 2)
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val orphanJson = Files.readString(Paths.get(dir, "manifest-r00002.json"))
+    Files.list(Paths.get(dir)).iterator().asScala.toList.foreach { p =>
+      val name = p.getFileName.toString
+      val manifestRound =
+        if (name.startsWith("manifest-r")) Some(name.stripPrefix("manifest-r").stripSuffix(".json").toInt)
+        else None
+      val dataRound =
+        if (name.startsWith("r") && name.drop(1).forall(_.isDigit)) Some(name.drop(1).toInt)
+        else None
+      // committed manifests from round 2 on are gone; round-2 DATA stays on
+      // disk (the interrupted write); later data rounds never happened
+      if (manifestRound.exists(_ >= 2) || dataRound.exists(_ > 2))
+        Files.walk(p).iterator().asScala.toList.reverse.foreach(Files.delete)
+    }
+    Files.writeString(Paths.get(dir, ".manifest-r00002.json.tmp"), orphanJson)
+    assert(graft.sources.TableIO.latestRound(dir).contains(1),
+      "a temp manifest from an interrupted commit must not count as a commit")
+    val resumed = new CrawlEngine(spark, pages, CrawlConfig(), dir).resume()
+    assert(resumed.lastRound == lastRound)
+    assert(collectMap(resumed, seed) == expected)
+    // the re-run round committed over the orphan: manifest now real
+    assert(graft.sources.TableIO.latestRound(dir).contains(lastRound))
+  }
+
   test("resume preserves failed seeds: CrawlFailedException survives the restart") {
     val bad = s"${PagesGen.host("robots-failure")}/start"
     val good = s"${PagesGen.host("cycle")}/start"

@@ -86,6 +86,47 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize stream at 1M events: equals the batch twin; watermark evicts state") {
+    implicit val sqlCtx = spark.sqlContext
+    // 10k users × 100 events = 1M: per user, 10 sessions of 10 events
+    // (2-min steps) with 120-min session spacing and a small per-user
+    // phase; arrival is event-time-ordered across micro-batches (the
+    // contract a watermarked stream assumes)
+    val perUser = 100
+    val users = 10000
+    val baseMs = 1767225600000L
+    def tsMs(u: Int, i: Int): Long =
+      baseMs + ((i / 10) * 120L + (i % 10) * 2L + (u % 7)) * 60000L
+    val events = (for { i <- 0 until perUser; u <- 0 until users } yield
+      Event(u.toLong * perUser + i, new Timestamp(tsMs(u, i)), u.toLong, "v", 1.0)).toIndexedSeq
+    val sorted = events.sortBy(_.ts.getTime)
+    val input = MemoryStream[Event]
+    val q = StreamOps.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_1m").outputMode("append").start()
+    try {
+      sorted.grouped(100000).foreach { chunk => input.addData(chunk); q.processAllAvailable() }
+      // two far-future sentinel batches: the first advances the watermark
+      // past every real session's timeout, the second triggers emission
+      val maxTs = sorted.last.ts.getTime
+      input.addData(Event(-1L, new Timestamp(maxTs + 3600L * 1000), -1L, "v", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(-2L, new Timestamp(maxTs + 7200L * 1000), -1L, "v", 1.0))
+      q.processAllAvailable()
+      val streamed = spark.table("sess_1m").as[StreamOps.SessionOut].collect()
+        .filter(_.user_id >= 0)
+        .map(s => (s.user_id, s.start.getTime, s.end.getTime, s.n_events.toLong)).toSet
+      val batch = StreamOps.sessionizeBatch(events.toDF())
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          r.getTimestamp(2).getTime, r.getLong(3))).toSet
+      assert(streamed.size == users * 10)
+      assert(streamed == batch, "stream sessions diverged from the batch twin")
+      // eviction: 10k user states existed; after the watermark passed them
+      // all, only the sentinel key may remain
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 2, s"state not evicted by watermark: $stateRows rows live")
+    } finally q.stop()
+  }
+
   test("crawlResultsStream tails a crawl checkpoint: stream counts == batch counts") {
     import graft.operators.{CrawlConfig, CrawlEngine}
     import graft.sources.PagesGen
