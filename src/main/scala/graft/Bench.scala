@@ -111,12 +111,13 @@ object Bench {
 
     val headline = Seq(
       "q1_agg", "q_join_agg", "q_window_topk", "q_events_hourly",
-      "q_asof_join", "q_sessions",
+      "q_asof_join", "q_asof_join_sharded", "q_sessions",
       "dedup_exact", "dedup_minhash_pairs", "dedup_ngram_jaccard", "dedup_ngram_jaccard_t08",
       "dedup_simhash_pairs", "dedup_substring_spans", "dedup_substring_strip",
       "ann_topk_brute", "ann_topk_lsh", "ann_topk_ivf",
       "text_quality", "text_lang_id", "text_fingerprint",
-      "text_dup_ngram_ratio", "text_repetition_ratio", "text_corpus_stats", "multimodal_meta")
+      "text_dup_ngram_ratio", "text_repetition_ratio", "text_corpus_stats",
+      "text_bpe_tokens", "multimodal_meta")
 
     // untimed warmup: JIT + codegen + parquet footers, so the first timed
     // query measures the engine, not JVM cold start. The IVF fit also runs
@@ -130,12 +131,23 @@ object Bench {
     } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val samples = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    // the historically most run-to-run-variant queries carry a median of 3
+    // with samples visible in the JSON (round-3 VERDICT #2: one noisy
+    // sample must never become the number of record)
+    val tripled = Set("q1_agg", "q_sessions", "dedup_minhash_pairs")
     headline.foreach { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      results(name) = (System.nanoTime() - t0) / 1e9
+      val reps = if (tripled(name)) 3 else 1
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      if (reps > 1) samples(name) = times
+      results(name) = median(times)
     }
 
     // the exact-similarity-join regime comparison the adaptive dispatcher
@@ -169,17 +181,26 @@ object Bench {
     org.apache.spark.sql.SparkSession.clearActiveSession()
     org.apache.spark.sql.SparkSession.clearDefaultSession()
 
-    // frontier throughput (generation excluded from the timed section)
+    // frontier throughput: MEDIAN of 3 full crawls over the same generated
+    // graph (generation excluded from the timed section). Round 3 recorded
+    // a single run that landed 1.9× outside the session noise band; the
+    // number of record is now noise-proof and the samples stay visible.
     val crawlSpark = buildSession(crawlCpus, "graft-bench-crawl")
     val pagesDir = generatePages(crawlSpark, crawlN, hosts, crawlCpus * 2)
-    val cb = crawlBench(crawlSpark, pagesDir, crawlN, hosts)
+    val crawlReps = sys.env.getOrElse("SPARK_GRAFT_CRAWL_REPS", "3").toInt
+    val cbs = (1 to crawlReps).map(_ => crawlBench(crawlSpark, pagesDir, crawlN, hosts))
+    val cb = cbs.sortBy(_.seconds).apply(cbs.size / 2)
+    samples("crawl_frontier") = cbs.map(_.seconds)
     results("crawl_frontier") = cb.seconds
     crawlSpark.stop()
 
     val total = results.values.sum
     val qs = results.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
+    val sm = samples.map { case (k, vs) =>
+      s""""$k":${vs.map(v => f"$v%.3f").mkString("[", ",", "]")}""" }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"samples":$sm,""" +
+      s""""sf":"$sfDir",""" +
       s""""crawl_n":$crawlN,"crawl_urls":${cb.urls},"crawl_processed":${cb.processed},""" +
       s""""crawl_rounds":${cb.rounds},"crawl_urls_per_sec":${f"${cb.processed / cb.seconds}%.1f"},""" +
       s""""crawl_cpus":$crawlCpus,"cpus":$cpus}""")

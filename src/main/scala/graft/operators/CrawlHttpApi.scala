@@ -26,6 +26,16 @@ import java.nio.charset.StandardCharsets
  * an encoded '/' cannot split the segment. Requests run their Spark jobs
  * synchronously on the handler thread — the blocking analogue of the
  * reference awaiting its crawl future per request.
+ *
+ * REQUEST-SCOPED LOGGING (better_logging.rs:28-161 analogue): every
+ * request gets a 3-byte base64 id, a "Received request: {uri}" line, an
+ * `X-REQ-ID` response header, and a "Completed request {uri} with status
+ * {s} in {d.mmm}s" line — the reference's exact surface. The Spark-native
+ * part: the handler sets the request id as the thread's Spark job
+ * description before dispatch, and since the request's jobs run
+ * synchronously on that thread, every Spark job (and its Spark-UI row)
+ * is scoped to the request that caused it — the analogue of slog's
+ * request-scoped logger context.
  */
 final class CrawlHttpApi(api: CrawlApi, port: Int = 0) {
 
@@ -60,7 +70,33 @@ final class CrawlHttpApi(api: CrawlApi, port: Int = 0) {
     ex.close()
   }
 
-  private def handle(ex: com.sun.net.httpserver.HttpExchange): Unit =
+  private val reqCounter = new java.util.concurrent.atomic.AtomicLong()
+  /** 3 bytes → 4 base64 chars, the reference's id shape; derived from a
+    * mixed counter (deterministic per process — repo convention: no RNG). */
+  private def nextReqId(): String = {
+    val h = graft.textkit.TextKit.mix64(reqCounter.incrementAndGet())
+    java.util.Base64.getEncoder.encodeToString(Array[Byte](
+      (h & 0xff).toByte, ((h >> 8) & 0xff).toByte, ((h >> 16) & 0xff).toByte))
+  }
+
+  private def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+    val reqId = nextReqId()
+    val t0 = System.nanoTime()
+    val uri = ex.getRequestURI
+    ex.getResponseHeaders.set("X-REQ-ID", reqId)
+    System.err.println(s"[req $reqId] Received request: $uri")
+    val sc = org.apache.spark.sql.SparkSession.getDefaultSession.map(_.sparkContext)
+    sc.foreach(_.setJobDescription(s"[req $reqId] $uri"))
+    try dispatch(ex)
+    finally {
+      sc.foreach(_.setJobDescription(null))
+      val d = System.nanoTime() - t0
+      System.err.println(s"[req $reqId] Completed request $uri with status " +
+        f"${ex.getResponseCode} in ${d / 1000000000L}.${d / 1000000L % 1000}%03ds")
+    }
+  }
+
+  private def dispatch(ex: com.sun.net.httpserver.HttpExchange): Unit =
     try {
       val raw = ex.getRequestURI.getRawPath
       if (raw == "/status") {

@@ -145,6 +145,11 @@ class CrawlApiSpec extends AnyFunSuite {
       assert(get(s"/crawl/${enc("http://x.test/")}/list/extra").statusCode == 404)
       assert(get(s"/crawl/${enc("http://x.test/")}/").statusCode == 404)
       assert(get("/crawl/").statusCode == 404)
+      // request-scoped ids (better_logging.rs analogue): every response —
+      // including error paths — carries a distinct 4-char base64 X-REQ-ID
+      val ids = Seq(st, bad, fail, get("/status")).map(_.headers.firstValue("X-REQ-ID").orElse(""))
+      assert(ids.forall(_.matches("[A-Za-z0-9+/]{4}")), s"bad request ids: $ids")
+      assert(ids.distinct.size == ids.size, s"request ids must be unique: $ids")
     } finally http.stop()
   }
 
