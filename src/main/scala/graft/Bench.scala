@@ -105,6 +105,12 @@ object Bench {
     // hardware) so round-over-round numbers track the ENGINE, not VM noise
     val crawlCpus = sys.env.getOrElse("SPARK_GRAFT_CRAWL_CPUS", "8").toInt
     val crawlN = sys.env.getOrElse("SPARK_GRAFT_CRAWL_N", "2000000").toLong
+    val crawlReps = sys.env.getOrElse("SPARK_GRAFT_CRAWL_REPS", "3").toInt
+    // validated up front — failing at the crawl phase would burn the whole
+    // query phase first; reps must support a real median (an even count
+    // would report the upper-middle sample)
+    require(crawlReps >= 1 && crawlReps % 2 == 1,
+      s"SPARK_GRAFT_CRAWL_REPS must be an odd count >= 1, got $crawlReps")
     val hosts = 8
     val spark = buildSession(cpus, "graft-bench")
     attachCapMetricLogger(spark)
@@ -187,7 +193,6 @@ object Bench {
     // number of record is now noise-proof and the samples stay visible.
     val crawlSpark = buildSession(crawlCpus, "graft-bench-crawl")
     val pagesDir = generatePages(crawlSpark, crawlN, hosts, crawlCpus * 2)
-    val crawlReps = sys.env.getOrElse("SPARK_GRAFT_CRAWL_REPS", "3").toInt
     val cbs = (1 to crawlReps).map(_ => crawlBench(crawlSpark, pagesDir, crawlN, hosts))
     val cb = cbs.sortBy(_.seconds).apply(cbs.size / 2)
     samples("crawl_frontier") = cbs.map(_.seconds)

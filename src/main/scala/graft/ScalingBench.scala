@@ -291,13 +291,20 @@ object ScalingBench {
       // micro-batch exactly one chunk, and the SCAN of a batch
       // parallelizes across cores instead of being one task per batch
       val filesPerChunk = 8
-      def publish(df: org.apache.spark.sql.DataFrame, i: Int): Unit = {
+      def publish(df: org.apache.spark.sql.DataFrame, i: Int, strict: Boolean = true): Unit = {
         val tmp = s"$stage/c$i"
         df.select("event_id", "ts", "user_id", "event_type", "value")
           .repartition(filesPerChunk).write.mode("overwrite").parquet(tmp)
         val parts0 = java.nio.file.Files.list(java.nio.file.Paths.get(tmp)).iterator()
         val srcs = scala.jdk.CollectionConverters.IteratorHasAsScala(parts0).asScala
           .filter(_.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+        // the one-chunk-per-micro-batch alignment REQUIRES exactly
+        // filesPerChunk files per real chunk: a short chunk (empty
+        // round-robin partitions at tiny n) would let maxFilesPerTrigger
+        // blend chunk tails into the next batch and late-drop events past
+        // the watermark — refuse loudly instead of failing exactness
+        require(!strict || srcs.size == filesPerChunk,
+          s"chunk $i wrote ${srcs.size} files (need $filesPerChunk): n too small for this batch count")
         srcs.zipWithIndex.foreach { case (src, j) =>
           val dst = java.nio.file.Paths.get(watch, f"chunk-$i%05d-$j%03d.parquet")
           java.nio.file.Files.move(src, dst)
@@ -310,10 +317,13 @@ object ScalingBench {
       }
       val maxTs = maxUs / 1000L
       // sentinel chunks flush every session once the watermark passes it
+      // single-file sentinel chunks may share a batch with each other —
+      // harmless: both are flush markers past every real event, and the
+      // no-data batch after the final watermark advance emits the rest
       def sentinel(i: Int, tsMs: Long): Unit =
         publish(s.range(1).select(lit(-i.toLong).as("event_id"),
           timestamp_millis(lit(tsMs)).as("ts"), lit(-1L).as("user_id"),
-          lit("v").as("event_type"), lit(1.0).as("value")), batches + i)
+          lit("v").as("event_type"), lit(1.0).as("value")), batches + i, strict = false)
       sentinel(1, maxTs + 3600000L)
       sentinel(2, maxTs + 7200000L)
       eventsDf.unpersist()
@@ -325,8 +335,9 @@ object ScalingBench {
       // (sum of xxhash64 over the session tuple): a memory sink would
       // funnel every emitted session through the driver inside the timed
       // loop and dominate the measurement
-      val nSess = new java.util.concurrent.atomic.AtomicLong
-      val hSess = new java.util.concurrent.atomic.AtomicLong
+      // keyed by batchId: foreachBatch is at-least-once, and a re-executed
+      // batch must overwrite its own contribution, not double-count it
+      val perBatch = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, (Long, Long)]()
       val sessKey = Seq(col("user_id"),
         unix_micros(col("start").cast("timestamp")).as("su"),
         unix_micros(col("end").cast("timestamp")).as("eu"),
@@ -334,18 +345,20 @@ object ScalingBench {
       val t0 = System.nanoTime()
       val q = graft.streaming.StreamOps.sessionize(stream, gapMinutes = 30)
         .writeStream.foreachBatch {
-          (ds: org.apache.spark.sql.Dataset[graft.streaming.StreamOps.SessionOut], _: Long) =>
+          (ds: org.apache.spark.sql.Dataset[graft.streaming.StreamOps.SessionOut], batchId: Long) =>
             val r = ds.filter(col("user_id") >= 0).select(sessKey: _*)
               .agg(count(lit(1)),
                 bit_xor(xxhash64(col("user_id"), col("su"), col("eu"), col("ne")))).head()
-            nSess.addAndGet(r.getLong(0))
-            if (!r.isNullAt(1)) hSess.accumulateAndGet(r.getLong(1), (a, b) => a ^ b)
+            perBatch.put(batchId, (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
             ()
         }.start()
       q.processAllAvailable()
       val sec = (System.nanoTime() - t0) / 1e9
       val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
       q.stop()
+      import scala.jdk.CollectionConverters._
+      val nSessTotal = perBatch.values.asScala.map(_._1).sum
+      val hSessTotal = perBatch.values.asScala.map(_._2).foldLeft(0L)(_ ^ _)
       // truth: the same island scan as the `sessions` mode reference,
       // reduced through the identical checksum
       val users = (n + perUser - 1) / perUser
@@ -364,10 +377,10 @@ object ScalingBench {
       }.toDF("user_id", "su", "eu", "ne")
         .agg(count(lit(1)), bit_xor(xxhash64(col("user_id"), col("su"), col("eu"), col("ne")))).head()
       s.stop()
-      val matches = nSess.get == truthRow.getLong(0) && hSess.get == truthRow.getLong(1)
+      val matches = nSessTotal == truthRow.getLong(0) && hSessTotal == truthRow.getLong(1)
       println(
         s"""{"metric":"sessions_stream_scale","cpus":$cpus,"n":$n,"sec":${f"$sec%.2f"},""" +
-        s""""events_per_sec":${f"${n / sec}%.1f"},"sessions":${nSess.get},""" +
+        s""""events_per_sec":${f"${n / sec}%.1f"},"sessions":$nSessTotal,""" +
         s""""truth_sessions":${truthRow.getLong(0)},"exact_match":$matches,""" +
         s""""final_state_rows":$stateRows}""")
 

@@ -659,7 +659,12 @@ object SparkEntry {
        |  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents WHERE trim(text) <> '')
        |  GROUP BY 1, 2)""".stripMargin
     for (i <- 1 to numMerges) {
-      val pat = s"(SELECT ' ' || pr || ' ' FROM b$i)"
+      // coalesce to a TWO-SPACE sentinel when b_i is empty (corpus ran out
+      // of mergeable pairs before round i): the padded state never
+      // contains a double space, so strpos = 0 and w_i passes w_{i-1}
+      // through unchanged — exactly Bpe.train's early stop (a NULL pattern
+      // would NULL every pos and empty the word frame instead)
+      val pat = s"coalesce((SELECT ' ' || pr || ' ' FROM b$i), '  ')"
       val rep = s"(SELECT ' ' || replace(pr, ' ', '') || ' ' FROM b$i)"
       sb ++= s""",
          |b$i AS MATERIALIZED (SELECT pr, c FROM (

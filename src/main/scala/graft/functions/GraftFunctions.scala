@@ -82,20 +82,23 @@ object GraftFunctions {
     })
 
   def registerAll(spark: SparkSession): Unit = {
-    // idempotent: a re-register WARNs ("replaced a previously registered
-    // function") on every call — register once per session
-    if (spark.sessionState.functionRegistry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("url_canonicalize"))) return
-    spark.udf.register("url_canonicalize", url_canonicalize)
-    spark.udf.register("url_join", url_join)
-    spark.udf.register("url_domain", url_domain)
-    spark.udf.register("url_strip_fragment", url_strip_fragment)
-    spark.udf.register("url_host", url_host)
-    spark.udf.register("url_same_domain", url_same_domain)
-    spark.udf.register("http_classify", http_classify)
-    spark.udf.register("extract_links", extract_links)
-    spark.udf.register("extract_text_http", extract_text_http)
-    spark.udf.register("extract_text", extract_text)
-    spark.udf.register("robots_allowed", robots_allowed)
+    // idempotent PER FUNCTION: a re-register WARNs ("replaced a previously
+    // registered function") on every call, but a single-sentinel guard
+    // would silently skip the other ten if any one name already exists
+    def reg(name: String, f: UserDefinedFunction): Unit =
+      if (!spark.sessionState.functionRegistry.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        spark.udf.register(name, f)
+    reg("url_canonicalize", url_canonicalize)
+    reg("url_join", url_join)
+    reg("url_domain", url_domain)
+    reg("url_strip_fragment", url_strip_fragment)
+    reg("url_host", url_host)
+    reg("url_same_domain", url_same_domain)
+    reg("http_classify", http_classify)
+    reg("extract_links", extract_links)
+    reg("extract_text_http", extract_text_http)
+    reg("extract_text", extract_text)
+    reg("robots_allowed", robots_allowed)
   }
 }

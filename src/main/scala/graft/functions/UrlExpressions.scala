@@ -125,25 +125,26 @@ object UrlExpressions {
   /** Register the native expressions; use them as columns via
     * `functions.call_function("url_strip_fragment_native", c)` (the Column
     * companion is private to Spark in 4.x, so SQL registration is the
-    * public bridge). Skips when already registered (re-registration WARNs
-    * on every call — log noise, see TextExpressions.registerAll). */
+    * public bridge). Skips names already registered — PER FUNCTION, so a
+    * foreign registration of one name cannot silently suppress the rest
+    * (re-registration WARNs on every call — log noise otherwise). */
   def registerAll(spark: SparkSession): Unit = {
-    if (spark.sessionState.functionRegistry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("url_strip_fragment_native"))) return
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "url_strip_fragment_native", exprs => UrlStripFragment(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "url_domain_native", exprs => UrlDomain(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "url_host_port_native", exprs => UrlHostPort(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "host_shard_native", { exprs =>
-        require(exprs.length == 2,
-          s"host_shard_native(host, numShards) takes 2 arguments, got ${exprs.length}")
-        require(exprs(1).foldable,
-          "host_shard_native: numShards must be a literal (the shard count is a plan-time constant)")
-        HostShard(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())
-      }, "built-in")
+    def reg(name: String,
+            builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+              org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+      if (!spark.sessionState.functionRegistry.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
+    reg("url_strip_fragment_native", exprs => UrlStripFragment(exprs.head))
+    reg("url_domain_native", exprs => UrlDomain(exprs.head))
+    reg("url_host_port_native", exprs => UrlHostPort(exprs.head))
+    reg("host_shard_native", { exprs =>
+      require(exprs.length == 2,
+        s"host_shard_native(host, numShards) takes 2 arguments, got ${exprs.length}")
+      require(exprs(1).foldable,
+        "host_shard_native: numShards must be a literal (the shard count is a plan-time constant)")
+      HostShard(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())
+    })
   }
 
   def url_strip_fragment_native(c: Column): Column =

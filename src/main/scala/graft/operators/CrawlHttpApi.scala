@@ -91,8 +91,13 @@ final class CrawlHttpApi(api: CrawlApi, port: Int = 0) {
     finally {
       sc.foreach(_.setJobDescription(null))
       val d = System.nanoTime() - t0
-      System.err.println(s"[req $reqId] Completed request $uri with status " +
-        f"${ex.getResponseCode} in ${d / 1000000000L}.${d / 1000000L % 1000}%03ds")
+      // a client that vanished mid-write leaves getResponseCode == -1
+      val status = ex.getResponseCode match {
+        case -1 => "no response sent (client gone?)"
+        case c => s"status $c"
+      }
+      System.err.println(s"[req $reqId] Completed request $uri with " +
+        f"$status in ${d / 1000000000L}.${d / 1000000L % 1000}%03ds")
     }
   }
 
@@ -132,10 +137,19 @@ final class CrawlHttpApi(api: CrawlApi, port: Int = 0) {
       } else respond(ex, 404, "text/plain", "not found")
     } catch {
       case e: IllegalArgumentException => // api.rs:74 — ParseError text, 400
-        respond(ex, 400, "text/plain", Option(e.getMessage).getOrElse("bad seed"))
+        respondError(ex, 400, Option(e.getMessage).getOrElse("bad seed"))
       case e: CrawlEngine.CrawlFailedException => // the 500 path
-        respond(ex, 500, "text/plain", Option(e.getMessage).getOrElse("crawl failed"))
+        respondError(ex, 500, Option(e.getMessage).getOrElse("crawl failed"))
       case e: Throwable =>
-        respond(ex, 500, "text/plain", Option(e.getMessage).getOrElse(e.toString))
+        respondError(ex, 500, Option(e.getMessage).getOrElse(e.toString))
     }
+
+  /** Error response that tolerates a half-dead exchange: if headers were
+    * already committed (respond() threw mid-write because the client went
+    * away), a second respond would throw AGAIN and escape the handler —
+    * skip it and let the completion log record the dropped connection. */
+  private def respondError(ex: com.sun.net.httpserver.HttpExchange, code: Int, body: String): Unit =
+    if (ex.getResponseCode == -1)
+      try respond(ex, code, "text/plain", body)
+      catch { case _: java.io.IOException => () }
 }
