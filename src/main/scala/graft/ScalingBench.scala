@@ -384,6 +384,34 @@ object ScalingBench {
         s""""truth_sessions":${truthRow.getLong(0)},"exact_match":$matches,""" +
         s""""final_state_rows":$stateRows}""")
 
+    case "bpe" :: cpusStr :: nStr :: Nil =>
+      // BPE training at corpus scale: n DocsGen docs → 16 merge rounds.
+      // The determinism claim is the point: the merge TABLE (ranks, pairs,
+      // counts) must be bit-identical at every parallelism level — pair
+      // counts are exact integer sums and the argmax tie-break is total,
+      // so summation order cannot leak into the learned vocabulary.
+      // Digest = md5 of the ordered merge table, compared across runs.
+      val cpus = cpusStr.toInt
+      val n = nStr.toLong
+      val s = Bench.buildSession(cpus, s"graft-bpe-$cpus")
+      val parts = cpus * 4
+      val docs = graft.sources.DocsGen.docs(s, n, parts)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docs.count() // generation excluded from the timed section
+      graft.operators.Bpe.train(docs.limit(2000), numMerges = 2) // warm JIT
+      val t0 = System.nanoTime()
+      val merges = graft.operators.Bpe.train(docs, numMerges = 16)
+      val sec = (System.nanoTime() - t0) / 1e9
+      s.stop()
+      val table = merges.map(m => s"${m.rank}:${m.left}|${m.right}|${m.count}").mkString(";")
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(table.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      println(
+        s"""{"metric":"bpe_scale","cpus":$cpus,"n":$n,"sec":${f"$sec%.2f"},""" +
+        s""""docs_per_sec":${f"${n / sec}%.1f"},"merges":${merges.size},""" +
+        s""""top_merge":"${merges.head.left}+${merges.head.right}:${merges.head.count}",""" +
+        s""""merge_digest":"$digest"}""")
+
     case "control" :: threadsStr :: rest if rest.size <= 1 =>
       // Pure-JVM control: the tokenizer kernel across a thread pool —
       // measures THIS VM's thread-scaling ceiling so the crawl's scaling can
@@ -420,7 +448,7 @@ object ScalingBench {
       println(s"""{"metric":"control","threads":$threads,"sec":${f"$sec%.2f"},"docs":$docs,"docs_per_sec":${f"${docs / sec}%.1f"},"docs_per_sec_per_thread":${f"${docs / sec / threads}%.1f"}}""")
 
     case _ =>
-      System.err.println("usage: ScalingBench gen <n> | run <cpus> <n> | kernel <cpus> <n> | dedup <cpus> <n> | substr <cpus> <n> | sessions <cpus> <n> | sessions_stream <cpus> <n> | control <threads> [nDocs]")
+      System.err.println("usage: ScalingBench gen <n> | run <cpus> <n> | kernel <cpus> <n> | dedup <cpus> <n> | substr <cpus> <n> | sessions <cpus> <n> | sessions_stream <cpus> <n> | bpe <cpus> <n> | control <threads> [nDocs]")
       sys.exit(2)
   }
 }

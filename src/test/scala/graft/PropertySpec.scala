@@ -200,6 +200,49 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: BPE training equals the local reference on random corpora") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // tiny alphabet → dense pair collisions and plenty of count ties, so
+    // the deterministic tie-break (count desc, pair asc) is exercised hard
+    (0 until 5).foreach { i =>
+      val rnd = new scala.util.Random(4000 + i)
+      val alphabet = "abc"
+      def word() = (0 until 1 + rnd.nextInt(6)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val docs = (0 until 20).map(d => (d.toLong, (0 until rnd.nextInt(12)).map(_ => word()).mkString(" ")))
+      def mergeSeq(syms: Vector[String], l: String, r: String): Vector[String] = {
+        val out = Vector.newBuilder[String]; var j = 0
+        while (j < syms.length) {
+          if (j + 1 < syms.length && syms(j) == l && syms(j + 1) == r) { out += (l + r); j += 2 }
+          else { out += syms(j); j += 1 }
+        }
+        out.result()
+      }
+      def localTrain(k: Int): Seq[(String, String, Long)] = {
+        var state = docs.flatMap(_._2.trim.split("\\s+")).filter(_.nonEmpty)
+          .groupBy(identity).map { case (w, ws) => (w.map(_.toString).toVector, ws.size.toLong) }.toSeq
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var exhausted = false
+        for (_ <- 1 to k if !exhausted) {
+          val counts = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+          state.foreach { case (syms, c) =>
+            syms.indices.dropRight(1).foreach(j => counts((syms(j), syms(j + 1))) += c)
+          }
+          if (counts.isEmpty) exhausted = true
+          else {
+            val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, s"$l $r") }
+            out += ((l, r, c))
+            state = state.map { case (syms, cc) => (mergeSeq(syms, l, r), cc) }
+          }
+        }
+        out.toSeq
+      }
+      val got = graft.operators.Bpe.train(docs.toDF("doc_id", "text"), numMerges = 10)
+        .map(m => (m.left, m.right, m.count))
+      assert(got == localTrain(10), s"instance $i diverged: $got")
+    }
+  }
+
   test("property: batch sessionization equals the local island scan on random instances") {
     val spark = TestSpark.spark
     import spark.implicits._
