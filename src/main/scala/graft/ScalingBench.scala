@@ -182,6 +182,54 @@ object ScalingBench {
         s""""spans":$nSpans,"truth_spans":$nTruth,"matched":$nBoth,""" +
         s""""exact_match":${nSpans == nTruth && nBoth == nSpans},"removed_tokens":$removed}""")
 
+    case "minhash_add" :: cpusStr :: nStr :: Nil =>
+      // Incremental-minhash validation at scale: 90% of n docs are the
+      // standing corpus, 10% the arriving batch. The claim under test is
+      // the operator's contract — (old-corpus pairs) ∪ (add pairs) is
+      // EXACTLY the from-scratch full-corpus pair set — plus the economics:
+      // the add path must cost a small fraction of a full recompute.
+      val cpus = cpusStr.toInt
+      val n = nStr.toLong
+      val s = Bench.buildSession(cpus, s"graft-minhash-add-$cpus")
+      import org.apache.spark.sql.functions._
+      val parts = cpus * 4
+      val docs = graft.sources.DocsGen.docs(s, n, parts)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docs.count()
+      // contiguous tail split (block-aligned): the realistic "next crawl
+      // increment arrives" shape — near-dup clusters sit inside DocsGen
+      // blocks of 20, so an id%k split would put every block's BASE doc in
+      // the new batch and force the add path through ~all pairs
+      val cut = (n - n / 10) / 20 * 20
+      val oldDocs = docs.filter(col("doc_id") < cut)
+      val newDocs = docs.filter(col("doc_id") >= cut)
+      graft.operators.Dedup.minhashLshPairs(docs.limit(2000), threshold = 0.35, bands = 32).count()
+      // from-scratch baseline (timed)
+      val t0 = System.nanoTime()
+      val full = graft.operators.Dedup.minhashLshPairs(docs, threshold = 0.35, bands = 32)
+      val nFull = full.count()
+      val fullSec = (System.nanoTime() - t0) / 1e9
+      // standing state (untimed: amortized across the corpus's lifetime)
+      val oldPairs = graft.operators.Dedup.minhashLshPairs(oldDocs, threshold = 0.35, bands = 32)
+      val idx = graft.operators.Dedup.minhashFit(oldDocs, bands = 32)
+      // the arriving batch (timed — the steady-state ingestion cost)
+      val t1 = System.nanoTime()
+      val (idx2, addPairs) =
+        graft.operators.Dedup.minhashAdd(idx, newDocs, threshold = 0.35, bands = 32)
+      val nAdd = addPairs.count()
+      val addSec = (System.nanoTime() - t1) / 1e9
+      val union = oldPairs.select("id_a", "id_b").unionByName(addPairs.select("id_a", "id_b"))
+      val missing = full.select("id_a", "id_b").exceptAll(union).count()
+      val extra = union.exceptAll(full.select("id_a", "id_b")).count()
+      idx2.close(); idx.close()
+      s.stop()
+      println(
+        s"""{"metric":"minhash_add_scale","cpus":$cpus,"n":$n,""" +
+        s""""full_sec":${f"$fullSec%.2f"},"add_sec":${f"$addSec%.2f"},""" +
+        s""""add_speedup":${f"${fullSec / addSec}%.2f"},"full_pairs":$nFull,""" +
+        s""""add_pairs":$nAdd,"missing":$missing,"extra":$extra,""" +
+        s""""exact_match":${missing == 0 && extra == 0}}""")
+
     case "sessions" :: cpusStr :: nStr :: Nil =>
       // Sessionization validation at scale: n deterministic events
       // (per-user pseudo-random gaps of 1..50 min, so ~40% of gaps split
@@ -448,7 +496,7 @@ object ScalingBench {
       println(s"""{"metric":"control","threads":$threads,"sec":${f"$sec%.2f"},"docs":$docs,"docs_per_sec":${f"${docs / sec}%.1f"},"docs_per_sec_per_thread":${f"${docs / sec / threads}%.1f"}}""")
 
     case _ =>
-      System.err.println("usage: ScalingBench gen <n> | run <cpus> <n> | kernel <cpus> <n> | dedup <cpus> <n> | substr <cpus> <n> | sessions <cpus> <n> | sessions_stream <cpus> <n> | bpe <cpus> <n> | control <threads> [nDocs]")
+      System.err.println("usage: ScalingBench gen <n> | run <cpus> <n> | kernel <cpus> <n> | dedup <cpus> <n> | substr <cpus> <n> | sessions <cpus> <n> | sessions_stream <cpus> <n> | bpe <cpus> <n> | minhash_add <cpus> <n> | control <threads> [nDocs]")
       sys.exit(2)
   }
 }

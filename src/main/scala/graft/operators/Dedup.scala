@@ -128,78 +128,107 @@ object Dedup {
    * fit/add/save/load split, for a continuously-ingesting corpus: compute
    * signatures ONCE per doc, store them, and when a new batch arrives
    * emit only the pairs that involve a new doc — old text is never
-   * re-tokenized and old signatures are never recomputed. At 100 TB the
-   * signature table (id + numPerms longs) IS a stored column; the add
-   * path's joins shuffle only band keys and candidate ids.
+   * re-tokenized and old signatures are never recomputed. The index
+   * carries TWO frames: the signatures and the exploded band table
+   * PRE-PARTITIONED on the band key — an add's probe then joins the tiny
+   * new-batch band keys against the already-partitioned posting lists
+   * without reshuffling the standing corpus (the minhash analogue of
+   * IVF's persisted cell assignment). At 100 TB both ARE stored table
+   * columns (the band table bucketed by band key).
    */
-  final case class MinhashIndex private[operators] (sigs: DataFrame) {
-    /** Release the checkpointed signature blocks — traverses the plan so
-      * the union an `minhashAdd` chain builds (LogicalRDD leaves under
-      * Union nodes) is released too; unpersist is idempotent, so closing
-      * both an input index and its add-result is safe. */
-    def close(): Unit = {
+  final case class MinhashIndex private[operators] (sigs: DataFrame, bandsDf: DataFrame) {
+    /** Release the checkpointed blocks of both frames — traverses the
+      * plans so the unions an `minhashAdd` chain builds (LogicalRDD
+      * leaves under Union nodes) are released too; unpersist is
+      * idempotent, so closing an input index and its add-result is safe. */
+    def close(): Unit = Seq(sigs, bandsDf).foreach { df =>
       var found = false
-      sigs.queryExecution.logical.foreach {
+      df.queryExecution.logical.foreach {
         case lr: org.apache.spark.sql.execution.LogicalRDD =>
           lr.rdd.unpersist(false); found = true
         case _ => ()
       }
-      if (!found) sigs.unpersist()
+      if (!found) df.unpersist()
     }
   }
 
+  /** Exploded (id, band_idx, band_hash) of a signature frame. */
+  private def bandTable(sigs: DataFrame, bands: Int): DataFrame =
+    sigs.select(col("id"), explode(bandsUdf(col("sig"), lit(bands))).as("band"))
+      .select(col("id"), col("band._1").as("band_idx"), col("band._2").as("band_hash"))
+
   /** Build the signature index for a corpus (materialized eagerly — fit is
-    * a build step, not query work; lineage to the docs scan is severed). */
+    * a build step, not query work; lineage to the docs scan is severed).
+    * The band table is partitioned AND sorted on the band key ONCE here —
+    * localCheckpoint preserves both, so every later add's semi-join
+    * streams the posting lists with no exchange and no re-sort.
+    * `bands` here must match the `bands` later passed to minhashAdd. */
   def minhashFit(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-                 k: Int = 3, numPerms: Int = 64): MinhashIndex =
-    MinhashIndex(minhashSignatures(docs, textCol, idCol, k, numPerms).localCheckpoint(true))
+                 k: Int = 3, numPerms: Int = 64, bands: Int = 16): MinhashIndex = {
+    val sigs = minhashSignatures(docs, textCol, idCol, k, numPerms).localCheckpoint(true)
+    val banded = bandTable(sigs, bands)
+      .repartition(col("band_idx"), col("band_hash"))
+      .sortWithinPartitions("band_idx", "band_hash")
+      .localCheckpoint(true)
+    MinhashIndex(sigs, banded)
+  }
 
   /** Persist the signature index as parquet — across sessions/processes,
-    * mirroring ivfSave. */
+    * mirroring ivfSave (the band table is derived, recomputed on load). */
   def minhashSave(index: MinhashIndex, path: String): Unit =
     index.sigs.write.mode("overwrite").parquet(path)
 
-  def minhashLoad(spark: org.apache.spark.sql.SparkSession, path: String): MinhashIndex =
-    MinhashIndex(spark.read.parquet(path).localCheckpoint(true))
+  def minhashLoad(spark: org.apache.spark.sql.SparkSession, path: String,
+                  bands: Int = 16): MinhashIndex = {
+    val sigs = spark.read.parquet(path).localCheckpoint(true)
+    val banded = bandTable(sigs, bands)
+      .repartition(col("band_idx"), col("band_hash"))
+      .sortWithinPartitions("band_idx", "band_hash")
+      .localCheckpoint(true)
+    MinhashIndex(sigs, banded)
+  }
 
   /**
    * Incremental near-dup detection: sign ONLY the new batch, and emit the
    * verified pairs with at least one new endpoint — new-vs-old pairs
    * surface the moment the new doc arrives, old-old pairs are never
    * re-derived (they were emitted when THEIR batch arrived). Candidate
-   * generation reuses the batch kernel over (old ∪ new) band buckets but
-   * prunes, BEFORE any pair explodes, to buckets containing ≥ 1 new id
-   * (a semi-join on the new batch's band keys); old-only buckets are
-   * untouched. add-then-union ≡ recompute-from-scratch exactly (oracled in
-   * SparkEntry) as long as no bucket crosses `maxBucket` — a capped bucket
-   * slices differently once new ids sort into it, the same visibility
-   * tradeoff the batch cap metric reports.
-   * Returns (index covering old ∪ new, pairs DataFrame (id_a, id_b,
-   * est_jaccard)); ids must be unique across ALL batches (same contract
-   * as the batch operator).
+   * generation prunes to buckets the new batch TOUCHES before anything
+   * expensive runs: the new band keys (tiny) semi-join the index's
+   * pre-partitioned band table — the standing corpus is never
+   * reshuffled, and untouched buckets are never grouped, so add cost
+   * scales with the new batch + its collisions, not the corpus.
+   * add-then-union ≡ recompute-from-scratch exactly (oracled in
+   * SparkEntry and validated at 1M docs in ScalingBench) as long as no
+   * bucket crosses `maxBucket` — a capped bucket slices differently once
+   * new ids sort into it, the same visibility tradeoff the batch cap
+   * metric reports. Returns (index covering old ∪ new, pairs (id_a,
+   * id_b, est_jaccard)); ids must be unique across ALL batches and
+   * `bands` must match the index's (same contract as the batch operator).
    */
   def minhashAdd(index: MinhashIndex, newDocs: DataFrame,
                  textCol: String = "text", idCol: String = "doc_id",
                  k: Int = 3, numPerms: Int = 64, bands: Int = 16,
                  threshold: Double = 0.5, maxBucket: Int = 1000): (MinhashIndex, DataFrame) = {
     val newSigs = minhashSignatures(newDocs, textCol, idCol, k, numPerms).localCheckpoint(true)
-    val all = index.sigs.unionByName(newSigs)
-    val buckets = all
-      .select(col("id"), explode(bandsUdf(col("sig"), lit(bands))).as("band"))
-      .select(col("id"), col("band._1").as("band_idx"), col("band._2").as("band_hash"))
-    val newBandKeys = newSigs
-      .select(explode(bandsUdf(col("sig"), lit(bands))).as("band"))
-      .select(col("band._1").as("band_idx"), col("band._2").as("band_hash"))
-      .distinct()
-    val grouped = buckets.groupBy("band_idx", "band_hash")
+    val newBands = bandTable(newSigs, bands)
+    val newBandKeys = newBands.select("band_idx", "band_hash").distinct()
+    // members of touched buckets only: the semi-join's required
+    // distribution is satisfied by the index's partitioning, so only the
+    // (tiny) key side shuffles; the groupBy below reuses the same keys —
+    // subset clustering, no extra exchange on the big side
+    val touched = index.bandsDf
+      .join(newBandKeys, Seq("band_idx", "band_hash"), "left_semi")
+      .unionByName(newBands)
+    val grouped = touched.groupBy("band_idx", "band_hash")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .join(newBandKeys, Seq("band_idx", "band_hash"), "left_semi")
       .observe("minhash_add_bucket_cap",
         sum(greatest(size(col("ids")) - maxBucket, lit(0))).as("capped_ids_dropped"),
         max(size(col("ids"))).as("max_bucket_size"))
       .withColumn("ids", slice(col("ids"), 1, maxBucket))
     val newIds = newSigs.select("id")
+    val all = index.sigs.unionByName(newSigs)
     val pairs = grouped
       .select(explode(pairsOf(col("ids"))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
@@ -217,7 +246,8 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
       .localCheckpoint(true)
-    (MinhashIndex(all), out)
+    val grownBands = index.bandsDf.unionByName(newBands)
+    (MinhashIndex(all, grownBands), out)
   }
 
   /** all ordered pairs of a (sorted, capped) id array — declarative, codegen'd. */
