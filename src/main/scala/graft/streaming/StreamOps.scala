@@ -210,6 +210,79 @@ object StreamOps {
       }
   }
 
+  // ---- streaming as-of join ---------------------------------------------------
+
+  final case class AsofEvent(key: Long, ts: Timestamp, is_left: Boolean, id: Long, value: Double)
+  final case class AsofOut(key: Long, left_id: Long, left_ts: Timestamp,
+                           right_id: Option[Long], right_ts: Option[Timestamp],
+                           right_value: Option[Double])
+  final case class AsofState(lefts: Seq[(Long, Long)], rights: Seq[(Long, Long, Double)])
+
+  /**
+   * STREAMING counterpart of `AsofJoin.asofJoin` — continuous temporal
+   * enrichment: every left event is matched to the latest right event of
+   * the same key with right.ts ≤ left.ts (inclusive; left-outer nulls when
+   * no prior right exists), exactly the batch operator's semantics. Both
+   * sides arrive as ONE tagged stream (the streaming analogue of the batch
+   * union trick), keyed by `key`, with custom state per key:
+   *
+   *  - a left is held until the WATERMARK passes it strictly — only then
+   *    can no matching right (right.ts ≤ left.ts) still arrive — and is
+   *    emitted with the best right at that point (max (ts, id, value),
+   *    the batch tie-break for the same carried columns);
+   *  - rights strictly below the watermark compact to the single best one
+   *    (every future left has ts ≥ watermark, so only the max matters) —
+   *    per-key state is therefore bounded by the in-flight window, plus
+   *    ONE compacted right that persists so an arbitrarily late-keyed
+   *    left still finds its match (as-of semantics; key count bounds it);
+   *  - an event-time timeout re-fires the key when the watermark passes
+   *    its oldest pending left, so emission never waits for new data.
+   *
+   * Tested for exact set equality against the batch operator under
+   * unique-(key, ts) rights — the same determinism contract the batch
+   * operator documents.
+   */
+  def asofJoinStream(events: Dataset[AsofEvent], lateness: String = "30 minutes"): Dataset[AsofOut] = {
+    implicit val stateEnc = Encoders.product[AsofState]
+    implicit val outEnc = Encoders.product[AsofOut]
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[AsofState, AsofOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, rows, state: GroupState[AsofState]) =>
+          val st0 = state.getOption.getOrElse(AsofState(Nil, Nil))
+          var lefts = st0.lefts
+          var rights = st0.rights
+          if (!state.hasTimedOut) rows.foreach { e =>
+            if (e.is_left) lefts :+= ((e.ts.getTime, e.id))
+            else rights :+= ((e.ts.getTime, e.id, e.value))
+          }
+          val wm = state.getCurrentWatermarkMs()
+          // strict: while wm == left.ts a right AT that instant may still arrive
+          val (ready, pending) = lefts.partition(_._1 < wm)
+          val out = ready.sorted.map { case (lts, lid) =>
+            val m = rights.filter(_._1 <= lts)
+            if (m.isEmpty) AsofOut(key, lid, new Timestamp(lts), None, None, None)
+            else {
+              val best = m.max
+              AsofOut(key, lid, new Timestamp(lts),
+                Some(best._2), Some(new Timestamp(best._1)), Some(best._3))
+            }
+          }
+          val (oldR, liveR) = rights.partition(_._1 < wm)
+          val keptR = (if (oldR.nonEmpty) Seq(oldR.max) else Nil) ++ liveR
+          if (pending.isEmpty && keptR.isEmpty) state.remove()
+          else {
+            state.update(AsofState(pending, keptR))
+            if (pending.nonEmpty)
+              state.setTimeoutTimestamp(math.max(pending.map(_._1).min + 1, wm + 1))
+          }
+          out.iterator
+      }
+  }
+
   // ---- live crawl monitoring ------------------------------------------------
 
   /** Schema of the engine's committed result increments (CrawlEngine

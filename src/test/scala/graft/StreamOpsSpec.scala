@@ -271,4 +271,47 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(streamed.contains((0L, 1L)) && streamed.contains((3L, 4L)))
     } finally q.stop()
   }
+
+  test("asofJoinStream: cross-batch as-of matches equal the batch operator exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // interleaved lefts/rights per key; rights unique per (key, ts) — the
+    // documented determinism contract. Lefts include no-prior-right cases
+    // (left-outer nulls) and ties with right timestamps (inclusive match).
+    val rnd = new scala.util.Random(77)
+    val events = (0 until 8).flatMap { k =>
+      val rights = rnd.shuffle((0 until 200).toList).take(40)
+        .map(t => StreamOps.AsofEvent(k.toLong, ts(t), is_left = false, 1000L * k + t, t * 1.5))
+      val lefts = (0 until 60)
+        .map(j => StreamOps.AsofEvent(k.toLong, ts(rnd.nextInt(220)), is_left = true, 5000L * k + j, 0.0))
+      rights ++ lefts
+    }
+    val sorted = events.sortBy(_.ts.getTime)
+    val input = MemoryStream[StreamOps.AsofEvent]
+    val q = StreamOps.asofJoinStream(input.toDS(), lateness = "30 minutes")
+      .writeStream.format("memory").queryName("asof_stream").outputMode("append").start()
+    try {
+      sorted.grouped(80).foreach { c => input.addData(c); q.processAllAvailable() }
+      val maxT = sorted.last.ts.getTime
+      input.addData(StreamOps.AsofEvent(-1L, new Timestamp(maxT + 3600000L), is_left = false, -1L, 0.0))
+      q.processAllAvailable()
+      input.addData(StreamOps.AsofEvent(-1L, new Timestamp(maxT + 7200000L), is_left = false, -2L, 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("asof_stream").as[StreamOps.AsofOut].collect()
+        .filter(_.key >= 0)
+        .map(o => (o.key, o.left_id, o.left_ts.getTime,
+          o.right_id, o.right_ts.map(_.getTime), o.right_value)).toSet
+      val leftDf = events.filter(_.is_left).map(e => (e.key, e.id, e.ts)).toDF("key", "left_id", "ts")
+      val rightDf = events.filter(!_.is_left).map(e => (e.key, e.ts, e.id, e.value))
+        .toDF("key", "ts", "id", "value")
+      val batch = graft.operators.AsofJoin.asofJoin(leftDf, rightDf,
+        on = "ts", by = Seq("key"), rightCols = Seq("ts", "id", "value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime,
+          Option(r.get(4)).map(_.asInstanceOf[Long]),
+          Option(r.getTimestamp(3)).map(_.getTime),
+          Option(r.get(5)).map(_.asInstanceOf[Double]))).toSet
+      assert(streamed.size == 8 * 60, s"every left must emit exactly once: ${streamed.size}")
+      assert(streamed == batch, "stream as-of diverged from the batch operator")
+    } finally q.stop()
+  }
 }
