@@ -230,6 +230,56 @@ object ScalingBench {
         s""""add_pairs":$nAdd,"missing":$missing,"extra":$extra,""" +
         s""""exact_match":${missing == 0 && extra == 0}}""")
 
+    case "embdedup" :: cpusStr :: nStr :: Nil =>
+      // Embedding near-dup (hyperplane-LSH bucket path) at scale: n
+      // deterministic 64-dim vectors; every 20th id is a planted near-dup
+      // of its predecessor (tiny deterministic perturbation → cosine
+      // ≈ 0.9998), random pairs sit near cosine 0 — so found pairs ≈
+      // planted pairs and recall measures the LSH family directly
+      // (theory for 18 hyperplanes at θ≈0.02 rad predicts ~0.89).
+      val cpus = cpusStr.toInt
+      val n = nStr.toLong
+      val s = Bench.buildSession(cpus, s"graft-embdedup-$cpus")
+      import org.apache.spark.sql.functions._
+      val dim = 64
+      val vecUdf = udf { (id: Long) =>
+        val base = if (id % 20 == 1) id - 1 else id
+        val v = Array.tabulate(dim)(c =>
+          (graft.textkit.TextKit.mix64(base * dim + c).toDouble / Long.MaxValue).toFloat)
+        if (id % 20 == 1) {
+          var c = 0
+          while (c < dim) {
+            v(c) += 0.02f *
+              (graft.textkit.TextKit.mix64(id * dim + c).toDouble / Long.MaxValue).toFloat
+            c += 1
+          }
+        }
+        v
+      }
+      val parts = cpus * 4
+      val emb = s.range(0, n, 1, parts)
+        .select(col("id").as("vec_id"), vecUdf(col("id")).as("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      emb.count() // generation excluded from the timed section
+      graft.operators.Dedup.embeddingNearDup(emb.limit(2000),
+        threshold = 0.95, signBits = 18, maxBucket = 100).count() // warm JIT
+      val t0 = System.nanoTime()
+      val pairs = graft.operators.Dedup.embeddingNearDup(emb,
+        threshold = 0.95, signBits = 18, maxBucket = 100)
+      val nPairs = pairs.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val truth = s.range(0, n).filter(col("id") % 20 === 1)
+        .select((col("id") - 1).as("id_a"), col("id").as("id_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nTruth = truth.count()
+      val nHit = truth.join(pairs, Seq("id_a", "id_b"), "left_semi").count()
+      s.stop()
+      println(
+        s"""{"metric":"embdedup_scale","cpus":$cpus,"n":$n,"sec":${f"$sec%.2f"},""" +
+        s""""vecs_per_sec":${f"${n / sec}%.1f"},"pairs":$nPairs,"truth_pairs":$nTruth,""" +
+        s""""truth_found":$nHit,"recall":${f"${nHit.toDouble / math.max(1, nTruth)}%.4f"},""" +
+        s""""non_planted_pairs":${nPairs - nHit}}""")
+
     case "sessions" :: cpusStr :: nStr :: Nil =>
       // Sessionization validation at scale: n deterministic events
       // (per-user pseudo-random gaps of 1..50 min, so ~40% of gaps split
@@ -496,7 +546,7 @@ object ScalingBench {
       println(s"""{"metric":"control","threads":$threads,"sec":${f"$sec%.2f"},"docs":$docs,"docs_per_sec":${f"${docs / sec}%.1f"},"docs_per_sec_per_thread":${f"${docs / sec / threads}%.1f"}}""")
 
     case _ =>
-      System.err.println("usage: ScalingBench gen <n> | run <cpus> <n> | kernel <cpus> <n> | dedup <cpus> <n> | substr <cpus> <n> | sessions <cpus> <n> | sessions_stream <cpus> <n> | bpe <cpus> <n> | minhash_add <cpus> <n> | control <threads> [nDocs]")
+      System.err.println("usage: ScalingBench gen <n> | run <cpus> <n> | kernel <cpus> <n> | dedup <cpus> <n> | substr <cpus> <n> | sessions <cpus> <n> | sessions_stream <cpus> <n> | bpe <cpus> <n> | minhash_add <cpus> <n> | embdedup <cpus> <n> | control <threads> [nDocs]")
       sys.exit(2)
   }
 }
