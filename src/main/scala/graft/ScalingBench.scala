@@ -280,6 +280,62 @@ object ScalingBench {
         s""""truth_found":$nHit,"recall":${f"${nHit.toDouble / math.max(1, nTruth)}%.4f"},""" +
         s""""non_planted_pairs":${nPairs - nHit}}""")
 
+    case "ann" :: cpusStr :: nStr :: Nil =>
+      // IVF ANN at corpus scale: fit on n deterministic vectors (the
+      // embdedup universe without planted dups), then query 1,000
+      // perturbed copies of known corpus vectors — each query's true
+      // nearest neighbor is its own source id BY CONSTRUCTION (cosine
+      // ~0.9998 vs ~0 for random pairs), so recall@1 needs no brute-force
+      // pass. Fit is the untimed build step (fit-once/query-forever);
+      // the timed section is the probe+verify cost a query batch pays.
+      val cpus = cpusStr.toInt
+      val n = nStr.toLong
+      val s = Bench.buildSession(cpus, s"graft-ann-$cpus")
+      import org.apache.spark.sql.functions._
+      val dim = 64
+      val baseVecUdf = udf { (id: Long) =>
+        Array.tabulate(dim)(c =>
+          (graft.textkit.TextKit.mix64(id * dim + c).toDouble / Long.MaxValue).toFloat)
+      }
+      val queryVecUdf = udf { (id: Long) =>
+        val v = Array.tabulate(dim)(c =>
+          (graft.textkit.TextKit.mix64(id * dim + c).toDouble / Long.MaxValue).toFloat)
+        var c = 0
+        while (c < dim) {
+          v(c) += 0.02f *
+            (graft.textkit.TextKit.mix64((id + 7) * dim + c).toDouble / Long.MaxValue).toFloat
+          c += 1
+        }
+        v
+      }
+      val parts = cpus * 4
+      val emb = s.range(0, n, 1, parts)
+        .select(col("id").as("vec_id"), baseVecUdf(col("id")).as("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      emb.count()
+      val nq = 1000
+      // query ids offset far past the corpus so self-matches are real finds
+      val queries = s.range(0, nq.toLong)
+        .select((col("id") + 2000000000L).as("vec_id"), queryVecUdf(col("id")).as("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      queries.count()
+      val tFit0 = System.nanoTime()
+      val idx = graft.operators.Similarity.ivfFit(emb, nlist = 256)
+      val fitSec = (System.nanoTime() - tFit0) / 1e9
+      graft.operators.Similarity.ivfQuery(idx, queries.limit(10), 1, nprobe = 4).count() // warm
+      val t0 = System.nanoTime()
+      val top1 = graft.operators.Similarity.ivfQuery(idx, queries, 1, nprobe = 4)
+        .filter(col("rank") === 1)
+        .filter(col("neighbor_id") === col("query_id") - 2000000000L)
+        .count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      idx.close()
+      s.stop()
+      println(
+        s"""{"metric":"ann_scale","cpus":$cpus,"n":$n,"n_queries":$nq,""" +
+        s""""fit_sec":${f"$fitSec%.2f"},"query_sec":${f"$sec%.2f"},""" +
+        s""""queries_per_sec":${f"${nq / sec}%.1f"},"recall_at_1":${f"${top1.toDouble / nq}%.4f"}}""")
+
     case "sessions" :: cpusStr :: nStr :: Nil =>
       // Sessionization validation at scale: n deterministic events
       // (per-user pseudo-random gaps of 1..50 min, so ~40% of gaps split
@@ -546,7 +602,7 @@ object ScalingBench {
       println(s"""{"metric":"control","threads":$threads,"sec":${f"$sec%.2f"},"docs":$docs,"docs_per_sec":${f"${docs / sec}%.1f"},"docs_per_sec_per_thread":${f"${docs / sec / threads}%.1f"}}""")
 
     case _ =>
-      System.err.println("usage: ScalingBench gen <n> | run <cpus> <n> | kernel <cpus> <n> | dedup <cpus> <n> | substr <cpus> <n> | sessions <cpus> <n> | sessions_stream <cpus> <n> | bpe <cpus> <n> | minhash_add <cpus> <n> | embdedup <cpus> <n> | control <threads> [nDocs]")
+      System.err.println("usage: ScalingBench gen <n> | run <cpus> <n> | kernel <cpus> <n> | dedup <cpus> <n> | substr <cpus> <n> | sessions <cpus> <n> | sessions_stream <cpus> <n> | bpe <cpus> <n> | minhash_add <cpus> <n> | embdedup <cpus> <n> | ann <cpus> <n> | control <threads> [nDocs]")
       sys.exit(2)
   }
 }
