@@ -22,6 +22,24 @@ object ScalingBench {
   private def warmDir = "/tmp/graft_scaling_pages_warm"
   private val warmN = 20000L
 
+  /** Deterministic 64-dim bench vector of `id` — the ONE definition shared
+    * by the embdedup and ann modes (their cross-comparability depends on
+    * an identical vector universe). */
+  private val benchDim = 64
+  private def benchVec(id: Long): Array[Float] =
+    Array.tabulate(benchDim)(c =>
+      (graft.textkit.TextKit.mix64(id * benchDim + c).toDouble / Long.MaxValue).toFloat)
+  /** In-place small deterministic perturbation (cosine vs the base stays ~0.9998). */
+  private def perturbVec(v: Array[Float], noiseId: Long): Array[Float] = {
+    var c = 0
+    while (c < benchDim) {
+      v(c) += 0.02f *
+        (graft.textkit.TextKit.mix64(noiseId * benchDim + c).toDouble / Long.MaxValue).toFloat
+      c += 1
+    }
+    v
+  }
+
   def main(args: Array[String]): Unit = args.toList match {
     case "gen" :: nStr :: Nil =>
       val n = nStr.toLong
@@ -215,7 +233,7 @@ object ScalingBench {
       // the arriving batch (timed — the steady-state ingestion cost)
       val t1 = System.nanoTime()
       val (idx2, addPairs) =
-        graft.operators.Dedup.minhashAdd(idx, newDocs, threshold = 0.35, bands = 32)
+        graft.operators.Dedup.minhashAdd(idx, newDocs, threshold = 0.35)
       val nAdd = addPairs.count()
       val addSec = (System.nanoTime() - t1) / 1e9
       val union = oldPairs.select("id_a", "id_b").unionByName(addPairs.select("id_a", "id_b"))
@@ -241,20 +259,8 @@ object ScalingBench {
       val n = nStr.toLong
       val s = Bench.buildSession(cpus, s"graft-embdedup-$cpus")
       import org.apache.spark.sql.functions._
-      val dim = 64
       val vecUdf = udf { (id: Long) =>
-        val base = if (id % 20 == 1) id - 1 else id
-        val v = Array.tabulate(dim)(c =>
-          (graft.textkit.TextKit.mix64(base * dim + c).toDouble / Long.MaxValue).toFloat)
-        if (id % 20 == 1) {
-          var c = 0
-          while (c < dim) {
-            v(c) += 0.02f *
-              (graft.textkit.TextKit.mix64(id * dim + c).toDouble / Long.MaxValue).toFloat
-            c += 1
-          }
-        }
-        v
+        if (id % 20 == 1) perturbVec(benchVec(id - 1), id) else benchVec(id)
       }
       val parts = cpus * 4
       val emb = s.range(0, n, 1, parts)
@@ -292,22 +298,8 @@ object ScalingBench {
       val n = nStr.toLong
       val s = Bench.buildSession(cpus, s"graft-ann-$cpus")
       import org.apache.spark.sql.functions._
-      val dim = 64
-      val baseVecUdf = udf { (id: Long) =>
-        Array.tabulate(dim)(c =>
-          (graft.textkit.TextKit.mix64(id * dim + c).toDouble / Long.MaxValue).toFloat)
-      }
-      val queryVecUdf = udf { (id: Long) =>
-        val v = Array.tabulate(dim)(c =>
-          (graft.textkit.TextKit.mix64(id * dim + c).toDouble / Long.MaxValue).toFloat)
-        var c = 0
-        while (c < dim) {
-          v(c) += 0.02f *
-            (graft.textkit.TextKit.mix64((id + 7) * dim + c).toDouble / Long.MaxValue).toFloat
-          c += 1
-        }
-        v
-      }
+      val baseVecUdf = udf { (id: Long) => benchVec(id) }
+      val queryVecUdf = udf { (id: Long) => perturbVec(benchVec(id), id + 7) }
       val parts = cpus * 4
       val emb = s.range(0, n, 1, parts)
         .select(col("id").as("vec_id"), baseVecUdf(col("id")).as("embedding"))

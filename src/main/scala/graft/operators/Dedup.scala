@@ -128,20 +128,33 @@ object Dedup {
    * fit/add/save/load split, for a continuously-ingesting corpus: compute
    * signatures ONCE per doc, store them, and when a new batch arrives
    * emit only the pairs that involve a new doc — old text is never
-   * re-tokenized and old signatures are never recomputed. The index
-   * carries TWO frames: the signatures and the exploded band table
-   * PRE-PARTITIONED on the band key — an add's probe then joins the tiny
-   * new-batch band keys against the already-partitioned posting lists
-   * without reshuffling the standing corpus (the minhash analogue of
-   * IVF's persisted cell assignment). At 100 TB both ARE stored table
-   * columns (the band table bucketed by band key).
+   * re-tokenized and old signatures are never recomputed.
+   *
+   * Layout: the signatures plus the exploded band table as a sequence of
+   * SEGMENTS, each partitioned AND sorted on the band key (localCheckpoint
+   * preserves both) — the LSM shape. An add appends ONE new sorted
+   * segment and probes every existing segment with the new batch's band
+   * keys: no segment is ever reshuffled or re-sorted, so steady-state add
+   * cost stays proportional to the increment across a whole CHAIN of
+   * adds, not just the first (a single monolithic band frame would lose
+   * its layout at the first union and regress every later add to a
+   * full-corpus re-sort). `minhashCompact` is the explicit rebuild when
+   * the segment count warrants it. At 100 TB the segments are the
+   * bucketed data files of a stored band table; append IS the table's
+   * write path and compaction its maintenance job.
+   *
+   * The signature parameters (k, numPerms, bands) are CARRIED BY the
+   * index — an add inherits them, so a fit/add parameter mismatch (which
+   * would silently miss pairs via disjoint band keys) cannot happen.
    */
-  final case class MinhashIndex private[operators] (sigs: DataFrame, bandsDf: DataFrame) {
-    /** Release the checkpointed blocks of both frames — traverses the
-      * plans so the unions an `minhashAdd` chain builds (LogicalRDD
+  final case class MinhashIndex private[operators] (
+      sigs: DataFrame, bandSegments: Seq[DataFrame],
+      k: Int, numPerms: Int, bands: Int) {
+    /** Release the checkpointed blocks of every frame — traverses the
+      * plans so the sig unions an `minhashAdd` chain builds (LogicalRDD
       * leaves under Union nodes) are released too; unpersist is
       * idempotent, so closing an input index and its add-result is safe. */
-    def close(): Unit = Seq(sigs, bandsDf).foreach { df =>
+    def close(): Unit = (sigs +: bandSegments).foreach { df =>
       var found = false
       df.queryExecution.logical.foreach {
         case lr: org.apache.spark.sql.execution.LogicalRDD =>
@@ -157,35 +170,56 @@ object Dedup {
     sigs.select(col("id"), explode(bandsUdf(col("sig"), lit(bands))).as("band"))
       .select(col("id"), col("band._1").as("band_idx"), col("band._2").as("band_hash"))
 
+  /** One sorted band segment: partitioned + sorted on the band key, then
+    * checkpointed so BOTH properties survive into every later probe plan
+    * (the single place the segment layout is defined — fit, load, add and
+    * compact all build through here). */
+  private def bandSegment(sigs: DataFrame, bands: Int): DataFrame =
+    bandTable(sigs, bands)
+      .repartition(col("band_idx"), col("band_hash"))
+      .sortWithinPartitions("band_idx", "band_hash")
+      .localCheckpoint(true)
+
   /** Build the signature index for a corpus (materialized eagerly — fit is
-    * a build step, not query work; lineage to the docs scan is severed).
-    * The band table is partitioned AND sorted on the band key ONCE here —
-    * localCheckpoint preserves both, so every later add's semi-join
-    * streams the posting lists with no exchange and no re-sort.
-    * `bands` here must match the `bands` later passed to minhashAdd. */
+    * a build step, not query work; lineage to the docs scan is severed). */
   def minhashFit(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                  k: Int = 3, numPerms: Int = 64, bands: Int = 16): MinhashIndex = {
     val sigs = minhashSignatures(docs, textCol, idCol, k, numPerms).localCheckpoint(true)
-    val banded = bandTable(sigs, bands)
-      .repartition(col("band_idx"), col("band_hash"))
-      .sortWithinPartitions("band_idx", "band_hash")
-      .localCheckpoint(true)
-    MinhashIndex(sigs, banded)
+    MinhashIndex(sigs, Seq(bandSegment(sigs, bands)), k, numPerms, bands)
   }
 
-  /** Persist the signature index as parquet — across sessions/processes,
-    * mirroring ivfSave (the band table is derived, recomputed on load). */
-  def minhashSave(index: MinhashIndex, path: String): Unit =
-    index.sigs.write.mode("overwrite").parquet(path)
+  /** Persist the index as parquet — across sessions/processes, mirroring
+    * ivfSave: signatures under `path`/sigs, the signature parameters in a
+    * one-row `path`/meta table (so load cannot mismatch them; the band
+    * segments are derived and rebuilt — compacted — on load). */
+  def minhashSave(index: MinhashIndex, path: String): Unit = {
+    val spark = index.sigs.sparkSession
+    import spark.implicits._
+    index.sigs.write.mode("overwrite").parquet(s"$path/sigs")
+    Seq((index.k, index.numPerms, index.bands)).toDF("k", "num_perms", "bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
 
-  def minhashLoad(spark: org.apache.spark.sql.SparkSession, path: String,
-                  bands: Int = 16): MinhashIndex = {
-    val sigs = spark.read.parquet(path).localCheckpoint(true)
-    val banded = bandTable(sigs, bands)
-      .repartition(col("band_idx"), col("band_hash"))
-      .sortWithinPartitions("band_idx", "band_hash")
-      .localCheckpoint(true)
-    MinhashIndex(sigs, banded)
+  def minhashLoad(spark: org.apache.spark.sql.SparkSession, path: String): MinhashIndex = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (k, numPerms, bands) = (meta.getAs[Int]("k"), meta.getAs[Int]("num_perms"), meta.getAs[Int]("bands"))
+    val sigs = spark.read.parquet(s"$path/sigs").localCheckpoint(true)
+    MinhashIndex(sigs, Seq(bandSegment(sigs, bands)), k, numPerms, bands)
+  }
+
+  /** Rebuild the band table as ONE sorted segment (the LSM compaction —
+    * run it when an add chain has accumulated enough segments that the
+    * per-segment probe overhead shows). */
+  def minhashCompact(index: MinhashIndex): MinhashIndex = {
+    val compacted = MinhashIndex(index.sigs, Seq(bandSegment(index.sigs, index.bands)),
+      index.k, index.numPerms, index.bands)
+    index.bandSegments.foreach { seg =>
+      seg.queryExecution.logical.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+        case _ => ()
+      }
+    }
+    compacted
   }
 
   /**
@@ -194,32 +228,36 @@ object Dedup {
    * surface the moment the new doc arrives, old-old pairs are never
    * re-derived (they were emitted when THEIR batch arrived). Candidate
    * generation prunes to buckets the new batch TOUCHES before anything
-   * expensive runs: the new band keys (tiny) semi-join the index's
-   * pre-partitioned band table — the standing corpus is never
-   * reshuffled, and untouched buckets are never grouped, so add cost
-   * scales with the new batch + its collisions, not the corpus.
+   * expensive runs: the new band keys (tiny) semi-join every sorted band
+   * segment — the standing corpus is never reshuffled, and untouched
+   * buckets are never grouped, so add cost scales with the new batch +
+   * its collisions, not the corpus — and stays that way across a CHAIN
+   * of adds (each add appends one sorted segment).
    * add-then-union ≡ recompute-from-scratch exactly (oracled in
-   * SparkEntry and validated at 1M docs in ScalingBench) as long as no
-   * bucket crosses `maxBucket` — a capped bucket slices differently once
-   * new ids sort into it, the same visibility tradeoff the batch cap
-   * metric reports. Returns (index covering old ∪ new, pairs (id_a,
-   * id_b, est_jaccard)); ids must be unique across ALL batches and
-   * `bands` must match the index's (same contract as the batch operator).
+   * SparkEntry, chain-tested in PipelineOpsSpec, validated at 1M docs in
+   * ScalingBench) as long as no bucket crosses `maxBucket` — a capped
+   * bucket slices differently once new ids sort into it, the same
+   * visibility tradeoff the batch cap metric reports. Returns (index
+   * covering old ∪ new, pairs (id_a, id_b, est_jaccard)); ids must be
+   * unique across ALL batches (same contract as the batch operator);
+   * k/numPerms/bands come from the index, so they cannot drift.
    */
   def minhashAdd(index: MinhashIndex, newDocs: DataFrame,
                  textCol: String = "text", idCol: String = "doc_id",
-                 k: Int = 3, numPerms: Int = 64, bands: Int = 16,
                  threshold: Double = 0.5, maxBucket: Int = 1000): (MinhashIndex, DataFrame) = {
-    val newSigs = minhashSignatures(newDocs, textCol, idCol, k, numPerms).localCheckpoint(true)
-    val newBands = bandTable(newSigs, bands)
-    val newBandKeys = newBands.select("band_idx", "band_hash").distinct()
-    // members of touched buckets only: the semi-join's required
-    // distribution is satisfied by the index's partitioning, so only the
-    // (tiny) key side shuffles; the groupBy below reuses the same keys —
-    // subset clustering, no extra exchange on the big side
-    val touched = index.bandsDf
-      .join(newBandKeys, Seq("band_idx", "band_hash"), "left_semi")
-      .unionByName(newBands)
+    val newSigs = minhashSignatures(newDocs, textCol, idCol, index.k, index.numPerms)
+      .localCheckpoint(true)
+    val newSeg = bandSegment(newSigs, index.bands)
+    val newBandKeys = newSeg.select("band_idx", "band_hash").distinct()
+    // members of touched buckets only: each segment's required
+    // distribution is satisfied by its stored partitioning, so only the
+    // (tiny) key side shuffles per segment; the groupBy below then runs
+    // over the small touched subset
+    // every newSeg row is in a touched bucket by definition — only the
+    // standing segments need the semi-join prune
+    val touched = (index.bandSegments
+      .map(_.join(newBandKeys, Seq("band_idx", "band_hash"), "left_semi")) :+ newSeg)
+      .reduce(_ unionByName _)
     val grouped = touched.groupBy("band_idx", "band_hash")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -246,8 +284,7 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
       .localCheckpoint(true)
-    val grownBands = index.bandsDf.unionByName(newBands)
-    (MinhashIndex(all, grownBands), out)
+    (MinhashIndex(all, index.bandSegments :+ newSeg, index.k, index.numPerms, index.bands), out)
   }
 
   /** all ordered pairs of a (sorted, capped) id array — declarative, codegen'd. */

@@ -253,15 +253,18 @@ object StreamOps {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (key, rows, state: GroupState[AsofState]) =>
           val st0 = state.getOption.getOrElse(AsofState(Nil, Nil))
-          var lefts = st0.lefts
-          var rights = st0.rights
+          // linear accumulation (repeated Seq :+ on the default List is
+          // O(n) per append — quadratic for bursty keys)
+          val leftsB = scala.collection.mutable.ArrayBuffer.from(st0.lefts)
+          val rightsB = scala.collection.mutable.ArrayBuffer.from(st0.rights)
           if (!state.hasTimedOut) rows.foreach { e =>
-            if (e.is_left) lefts :+= ((e.ts.getTime, e.id))
-            else rights :+= ((e.ts.getTime, e.id, e.value))
+            if (e.is_left) leftsB += ((e.ts.getTime, e.id))
+            else rightsB += ((e.ts.getTime, e.id, e.value))
           }
           val wm = state.getCurrentWatermarkMs()
           // strict: while wm == left.ts a right AT that instant may still arrive
-          val (ready, pending) = lefts.partition(_._1 < wm)
+          val (ready, pending) = leftsB.toSeq.partition(_._1 < wm)
+          val rights = rightsB.toSeq
           val out = ready.sorted.map { case (lts, lid) =>
             val m = rights.filter(_._1 <= lts)
             if (m.isEmpty) AsofOut(key, lid, new Timestamp(lts), None, None, None)
@@ -276,8 +279,13 @@ object StreamOps {
           if (pending.isEmpty && keptR.isEmpty) state.remove()
           else {
             state.update(AsofState(pending, keptR))
-            if (pending.nonEmpty)
-              state.setTimeoutTimestamp(math.max(pending.map(_._1).min + 1, wm + 1))
+            // wake when the watermark passes the oldest pending left OR the
+            // oldest still-live right: without the latter, an idle key's
+            // rights would never compact and state would hold every
+            // in-window right forever instead of the documented single
+            // compacted candidate
+            val wake = (pending.map(_._1) ++ liveR.map(_._1)).minOption
+            wake.foreach(w => state.setTimeoutTimestamp(math.max(w + 1, wm + 1)))
           }
           out.iterator
       }

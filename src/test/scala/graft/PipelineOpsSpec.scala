@@ -388,31 +388,50 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(tc == expected)
   }
 
-  test("incremental minhash: add-then-union equals recompute-from-scratch, through save/load") {
+  test("incremental minhash: a chained add sequence equals recompute-from-scratch, through save/load") {
     def pairSet(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSet
     val full = pairSet(Dedup.minhashLshPairs(docs, threshold = 0.3))
     assert(full.nonEmpty, "fixture must contain near-dups")
-    val oldDocs = docs.filter($"doc_id" % 2 === 0)
-    val newDocs = docs.filter($"doc_id" % 2 === 1)
-    val oldPairs = pairSet(Dedup.minhashLshPairs(oldDocs, threshold = 0.3))
+    // three batches with near-dup clusters SPLIT across them (mutant
+    // groups sit on consecutive ids, so id%3 spreads each across batches)
+    val b0 = docs.filter($"doc_id" % 3 === 0)
+    val b1 = docs.filter($"doc_id" % 3 === 1)
+    val b2 = docs.filter($"doc_id" % 3 === 2)
+    val b0Pairs = pairSet(Dedup.minhashLshPairs(b0, threshold = 0.3))
     // fit → save → load: the add path must work from a reloaded index
+    // (which also restores k/numPerms/bands from the meta table)
     val dir = java.nio.file.Files.createTempDirectory("graft-mh-idx-").toString
-    val fitted = Dedup.minhashFit(oldDocs)
+    val fitted = Dedup.minhashFit(b0)
     Dedup.minhashSave(fitted, dir)
     fitted.close()
     val loaded = Dedup.minhashLoad(spark, dir)
-    val (grown, addDf) = Dedup.minhashAdd(loaded, newDocs, threshold = 0.3)
+    assert(loaded.bands == 16 && loaded.numPerms == 64 && loaded.k == 3)
+    // TWO chained adds: the second probes an index already grown by the
+    // first (the LSM segment chain), not a freshly fitted one
+    val (grown1, add1Df) = Dedup.minhashAdd(loaded, b1, threshold = 0.3)
+    val (grown2, add2Df) = Dedup.minhashAdd(grown1, b2, threshold = 0.3)
     try {
-      val addPairs = pairSet(addDf)
-      // every incremental pair touches the new batch — old-old pairs are
-      // never re-emitted
-      assert(addPairs.forall { case (a, b, _) => a % 2 == 1 || b % 2 == 1 })
-      assert(oldPairs ++ addPairs == full,
-        s"incremental union diverged: missing=${(full -- oldPairs -- addPairs).take(5)} " +
-          s"extra=${(oldPairs ++ addPairs -- full).take(5)}")
-      assert(grown.sigs.count() == docs.count())
-    } finally { grown.close(); loaded.close() }
+      val add1Pairs = pairSet(add1Df)
+      val add2Pairs = pairSet(add2Df)
+      // every incremental pair touches ITS batch — earlier pairs never re-emit
+      assert(add1Pairs.forall { case (a, b, _) => a % 3 == 1 || b % 3 == 1 })
+      assert(add2Pairs.forall { case (a, b, _) => a % 3 == 2 || b % 3 == 2 })
+      assert(add1Pairs.intersect(add2Pairs).isEmpty)
+      val union = b0Pairs ++ add1Pairs ++ add2Pairs
+      assert(union == full,
+        s"incremental union diverged: missing=${(full -- union).take(5)} " +
+          s"extra=${(union -- full).take(5)}")
+      assert(grown2.sigs.count() == docs.count())
+      assert(grown2.bandSegments.size == 3)
+      // compaction: one rebuilt segment, query-equivalent index
+      val compacted = Dedup.minhashCompact(grown2)
+      assert(compacted.bandSegments.size == 1)
+      val (_, reAdd) = Dedup.minhashAdd(compacted,
+        Seq((999999L, "zz zz zz")).toDF("doc_id", "text"), threshold = 0.3)
+      assert(pairSet(reAdd).isEmpty) // a unique doc adds no pairs
+      compacted.close()
+    } finally { grown2.close(); grown1.close(); loaded.close() }
   }
 
   test("duplicated substring spans: planted boilerplate found exactly, runs merged") {
