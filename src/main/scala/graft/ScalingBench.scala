@@ -286,6 +286,69 @@ object ScalingBench {
         s""""truth_found":$nHit,"recall":${f"${nHit.toDouble / math.max(1, nTruth)}%.4f"},""" +
         s""""non_planted_pairs":${nPairs - nHit}}""")
 
+    case "simdedup" :: cpusStr :: nStr :: Nil =>
+      // SimHash at corpus scale, with the EXHAUSTIVENESS claim under test:
+      // the 4x16-bit pigeonhole banding guarantees every pair at Hamming
+      // <= 3 shares a bucket, so the found set must EQUAL the set of
+      // planted pairs whose true signature distance is <= 3 (computed
+      // independently by a direct signature join, no buckets). Docs are
+      // 300 deterministic words; every 20th doc copies its predecessor
+      // with ONE word substituted — close enough that most planted pairs
+      // land within Hamming 3, while random pairs sit near 32.
+      val cpus = cpusStr.toInt
+      val n = nStr.toLong
+      val s = Bench.buildSession(cpus, s"graft-simdedup-$cpus")
+      import org.apache.spark.sql.functions._
+      val wordsPer = 300
+      val textUdf = udf { (id: Long) =>
+        val base = if (id % 20 == 1) id - 1 else id
+        val swapAt = (id % wordsPer).toInt
+        val sb = new StringBuilder(wordsPer * 14)
+        var w = 0
+        while (w < wordsPer) {
+          val seed =
+            if (id % 20 == 1 && w == swapAt) id * 31L + 7L
+            else base * 1009L + w
+          sb.append(java.lang.Long.toHexString(graft.textkit.TextKit.mix64(seed))).append(' ')
+          w += 1
+        }
+        sb.toString.trim
+      }
+      val parts = cpus * 4
+      val docs = s.range(0, n, 1, parts)
+        .select(col("id").as("doc_id"), textUdf(col("id")).as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docs.count() // generation excluded from the timed section
+      graft.operators.Dedup.simhashPairs(docs.limit(2000), maxBucket = 2000).count() // warm
+      val t0 = System.nanoTime()
+      val pairs = graft.operators.Dedup.simhashPairs(docs, maxDist = 3, maxBucket = 2000)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nPairs = pairs.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // planted-pair true distances via a DIRECT signature join (no buckets)
+      val sigs = graft.operators.Dedup.simhashSignatures(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val planted = s.range(0, n).filter(col("id") % 20 === 1)
+        .select((col("id") - 1).as("id_a"), col("id").as("id_b"))
+      val eligible = planted
+        .join(sigs.select(col("id").as("id_a"), col("simhash").as("h_a")), "id_a")
+        .join(sigs.select(col("id").as("id_b"), col("simhash").as("h_b")), "id_b")
+        .withColumn("hd", expr("bit_count(h_a ^ h_b)"))
+        .filter(col("hd") <= 3)
+        .select("id_a", "id_b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nPlanted = n / 20
+      val nEligible = eligible.count()
+      val found = pairs.select("id_a", "id_b")
+      val missing = eligible.exceptAll(found).count()
+      val extra = found.exceptAll(eligible).count()
+      s.stop()
+      println(
+        s"""{"metric":"simdedup_scale","cpus":$cpus,"n":$n,"sec":${f"$sec%.2f"},""" +
+        s""""docs_per_sec":${f"${n / sec}%.1f"},"pairs":$nPairs,"planted":$nPlanted,""" +
+        s""""eligible_hamming_le3":$nEligible,"missing":$missing,"extra":$extra,""" +
+        s""""exhaustive":${missing == 0 && extra == 0}}""")
+
     case "ann" :: cpusStr :: nStr :: Nil =>
       // IVF ANN at corpus scale: fit on n deterministic vectors (the
       // embdedup universe without planted dups), then query 1,000
@@ -594,7 +657,7 @@ object ScalingBench {
       println(s"""{"metric":"control","threads":$threads,"sec":${f"$sec%.2f"},"docs":$docs,"docs_per_sec":${f"${docs / sec}%.1f"},"docs_per_sec_per_thread":${f"${docs / sec / threads}%.1f"}}""")
 
     case _ =>
-      System.err.println("usage: ScalingBench gen <n> | run <cpus> <n> | kernel <cpus> <n> | dedup <cpus> <n> | substr <cpus> <n> | sessions <cpus> <n> | sessions_stream <cpus> <n> | bpe <cpus> <n> | minhash_add <cpus> <n> | embdedup <cpus> <n> | ann <cpus> <n> | control <threads> [nDocs]")
+      System.err.println("usage: ScalingBench gen <n> | run <cpus> <n> | kernel <cpus> <n> | dedup <cpus> <n> | substr <cpus> <n> | sessions <cpus> <n> | sessions_stream <cpus> <n> | bpe <cpus> <n> | minhash_add <cpus> <n> | embdedup <cpus> <n> | ann <cpus> <n> | simdedup <cpus> <n> | control <threads> [nDocs]")
       sys.exit(2)
   }
 }
