@@ -522,6 +522,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       AsofJoin.asofJoin(l.withColumnRenamed("u", "asof_ts"), r,
         on = "ts", by = Seq("asof_ts"), rightCols = Seq("ts")))
+    // ASOF equality never matches nulls: a null-by-key RIGHT row must not
+    // pair with a null-by-key left (Spark windows group nulls together —
+    // the operator filters them from the right input)
+    val ln = Seq((Option.empty[String], 10L), (Some("A"), 10L)).toDF("u", "ts")
+    val rn = Seq((Option.empty[String], Some(5L), Some(50L), 1L),
+      (Some("A"), Some(5L), Some(60L), 2L)).toDF("u", "ts", "v", "w")
+    val outN = AsofJoin.asofJoin(ln, rn, on = "ts", by = Seq("u"), rightCols = Seq("v"))
+      .collect().map(row => Option(row.getString(0)) -> Option(row.get(2))).toMap
+    assert(outN(None).isEmpty, "null-key left must stay unmatched")
+    assert(outN(Some("A")).contains(60L))
   }
 
   test("hash split/sample: deterministic, proportional, nested, stratified") {
@@ -545,6 +555,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     val st = Sampling.stratifiedHashSample(joined, "lang_pred", Map("en" -> 1.0))
     assert(st.select("lang_pred").distinct().collect().map(_.getString(0)).toSet == Set("en"))
     assert(st.count() == joined.filter($"lang_pred" === "en").count())
+    // null ids: explicitly unassigned in the split (null bucket AND null
+    // label, never the last-label fallthrough), dropped from samples —
+    // the two paths agree a null id belongs nowhere
+    val withNull = Seq((Option(1L), "a"), (Option.empty[Long], "b")).toDF("doc_id", "text")
+    val nullRow = Sampling.hashSplit(withNull).filter($"doc_id".isNull).collect()
+    assert(nullRow.length == 1 && nullRow(0).isNullAt(2) && nullRow(0).isNullAt(3),
+      "null id must get (bucket, split) = (null, null)")
+    assert(Sampling.hashSample(withNull, 1.0).filter($"doc_id".isNull).count() == 0)
   }
 
   test("top n-grams: counts and deterministic tie-break on the crafted corpus") {
