@@ -74,10 +74,16 @@ object TextAnalysis {
         langIdUdf(col(textCol)).as("lang_pred"), qualityUdf(col(textCol)).as("q")): _*)
       .select(extraKeys.map(col) ++ Seq(col("lang_pred"),
         col("q.nTokens").as("n_tokens"), col("q.score").as("quality_score")): _*)
+    // the grouped frame (one row per distinct key combo) feeds BOTH the
+    // scalar total and the final projection: materialize it eagerly so the
+    // corpus pass runs ONCE — a lazy plan would re-scan and re-score the
+    // whole corpus for each reference (plan-audited; at 100 TB the second
+    // pass dwarfs everything else in this operator)
     val grouped = base.groupBy((extraKeys :+ "lang_pred").map(col): _*)
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").as("total_tokens"),
         sum(round(round(col("quality_score"), 4) * 10000).cast("long")).as("q_scaled"))
+      .localCheckpoint(true)
     val total = grouped.agg(sum("n_docs").as("grand_docs"))
     grouped.crossJoin(broadcast(total))
       .select(extraKeys.map(col) ++ Seq(col("lang_pred"), col("n_docs"), col("total_tokens"),
