@@ -31,8 +31,9 @@ import org.apache.spark.sql.functions._
  * create a new `l r` adjacency before its own position).
  *
  * Words are whitespace tokens (the repo-wide convention the oracles
- * mirror); initial symbols are Unicode codepoints; no end-of-word marker
- * (word-internal merges only — the marker is an orthogonal refinement).
+ * mirror); initial symbols are Unicode codepoints, optionally followed by
+ * an end-of-word marker symbol (`eowMarker` — the standard Sennrich
+ * refinement; the oracled queries train the marker-free default).
  */
 object Bpe {
 
@@ -63,9 +64,11 @@ object Bpe {
     out.result()
   }
 
-  /** Apply a trained merge table in rank order to one word. */
-  def applyMerges(word: String, merges: Seq[Merge]): Vector[String] =
-    merges.foldLeft(charSyms(word)) { (syms, m) => mergeOnce(syms, m.left, m.right) }
+  /** Apply a trained merge table in rank order to one word (with the same
+    * end-of-word marker the table was trained with, if any). */
+  def applyMerges(word: String, merges: Seq[Merge],
+                  eowMarker: Option[String] = None): Vector[String] =
+    merges.foldLeft(initialSyms(word, eowMarker)) { (syms, m) => mergeOnce(syms, m.left, m.right) }
 
   /** (word type, count) over the corpus — the frame the merge loop runs on. */
   private def wordTypes(docs: DataFrame, textCol: String): DataFrame =
@@ -73,11 +76,24 @@ object Bpe {
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
+  /** Initial symbol sequence of a word: codepoints, plus the end-of-word
+    * marker as its own trailing symbol when configured — the standard
+    * Sennrich refinement that lets merges distinguish word-final contexts
+    * ("est</w>" vs "est"-as-prefix). */
+  private[operators] def initialSyms(w: String, eowMarker: Option[String]): Vector[String] =
+    eowMarker.fold(charSyms(w))(m => charSyms(w) :+ m)
+
   /** Train `numMerges` BPE merges. Stops early if no adjacent pair is left
-    * (fully-merged degenerate corpora). */
-  def train(docs: DataFrame, textCol: String = "text", numMerges: Int = 8): Seq[Merge] = {
+    * (fully-merged degenerate corpora). `eowMarker` (e.g. Some("</w>"))
+    * appends the marker as a trailing symbol of every word before
+    * training — merges may then absorb it, and token counts under the
+    * learned table reflect the marker symbol.  */
+  def train(docs: DataFrame, textCol: String = "text", numMerges: Int = 8,
+            eowMarker: Option[String] = None): Seq[Merge] = {
     require(numMerges >= 1)
-    val symsUdf = udf((w: String) => charSyms(w))
+    require(eowMarker.forall(m => m.nonEmpty && !m.exists(_.isWhitespace)),
+      "the end-of-word marker must be non-empty and whitespace-free")
+    val symsUdf = udf((w: String) => initialSyms(w, eowMarker))
     var state = wordTypes(docs, textCol)
       .select(symsUdf(col("word")).as("syms"), col("cnt"))
       .localCheckpoint(true)
@@ -118,10 +134,11 @@ object Bpe {
 
   /** The merge table as a DataFrame (merge_rank, left_sym, right_sym,
     * pair_count) — the publishable vocabulary artifact. */
-  def mergeTable(docs: DataFrame, textCol: String = "text", numMerges: Int = 8): DataFrame = {
+  def mergeTable(docs: DataFrame, textCol: String = "text", numMerges: Int = 8,
+                 eowMarker: Option[String] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    train(docs, textCol, numMerges)
+    train(docs, textCol, numMerges, eowMarker)
       .map(m => (m.rank, m.left, m.right, m.count))
       .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
   }
@@ -134,9 +151,10 @@ object Bpe {
    * matching the oracle. Returns (idCol, bpe_tokens).
    */
   def tokenCounts(docs: DataFrame, merges: Seq[Merge],
-                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                  textCol: String = "text", idCol: String = "doc_id",
+                  eowMarker: Option[String] = None): DataFrame = {
     val ms = merges.toVector
-    val nSymsUdf = udf((w: String) => applyMerges(w, ms).length)
+    val nSymsUdf = udf((w: String) => applyMerges(w, ms, eowMarker).length)
     val words = docs
       .select(col(idCol), explode(split(trim(coalesce(col(textCol), lit(""))), "\\s+")).as("word"))
       .filter(length(col("word")) > 0)

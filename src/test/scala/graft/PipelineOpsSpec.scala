@@ -386,6 +386,23 @@ class PipelineOpsSpec extends AnyFunSuite {
       id -> t.trim.split("\\s+").map(w => Bpe.applyMerges(w, merges).length.toLong).sum
     }.toMap
     assert(tc == expected)
+    // end-of-word-marker variant: the marker participates as a symbol —
+    // with "low" dominant, an early merge must absorb </w> into a
+    // word-final unit, which the marker-free table can never produce
+    val eow = Some("</w>")
+    val em = Bpe.train(df, numMerges = 8, eowMarker = eow)
+    assert(em.exists(m => m.right.endsWith("</w>") || m.left.endsWith("</w>")),
+      s"no merge absorbed the marker: $em")
+    assert(em.map(m => (m.left, m.right)) != merges.map(m => (m.left, m.right)))
+    val ew = Bpe.applyMerges("low", em, eow)
+    assert(ew.last.endsWith("</w>"), s"word-final unit must carry the marker: $ew")
+    // counts under the marker table still agree with direct application
+    val tcE = Bpe.tokenCounts(df, em, eowMarker = eow).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expectedE = corpus.filter(_._2.trim.nonEmpty).map { case (id, t) =>
+      id -> t.trim.split("\\s+").map(w => Bpe.applyMerges(w, em, eow).length.toLong).sum
+    }.toMap
+    assert(tcE == expectedE)
   }
 
   test("incremental minhash: a chained add sequence equals recompute-from-scratch, through save/load") {
