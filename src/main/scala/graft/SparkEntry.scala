@@ -623,6 +623,16 @@ object SparkEntry {
        |  CASE WHEN bucket < 900000 THEN 'train' WHEN bucket < 950000 THEN 'val' ELSE 'test' END AS split
        |FROM m5 ORDER BY doc_id""".stripMargin
 
+  /** Stratified-sample oracle: splitmix64 bucket (same HUGEINT chain as
+    * corpus_split) + the langIdSql assignment, cut per stratum — a row
+    * survives iff bucket < fraction(lang)·10^6. */
+  private val corpusStratifiedSql =
+    s"""WITH ${splitmixCtes("documents")}
+       |SELECT m5.doc_id, l.lang_pred
+       |FROM m5 JOIN ($langIdSql) l USING (doc_id)
+       |WHERE m5.bucket < CASE WHEN l.lang_pred = 'en' THEN 600000 ELSE 100000 END
+       |ORDER BY m5.doc_id""".stripMargin
+
   /** Per-language corpus report: the lang-id and quality subqueries joined
     * and re-aggregated in DuckDB. mean_quality mirrors the operator's
     * deterministic formulation exactly: the 4-decimal quality_score scales
@@ -1079,6 +1089,15 @@ object SparkEntry {
     "corpus_split" -> ((s, dir) =>
       Sampling.hashSplit(s.read.parquet(s"$dir/documents.parquet"))
         .select("doc_id", "bucket", "split").orderBy("doc_id")),
+    // per-stratum rebalancing (keep 60% of en, 10% of everything else) —
+    // the bucket cut AND the language assignment both re-derived in DuckDB
+    "corpus_stratified" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val joined = docs.join(TextAnalysis.langId(docs), "doc_id")
+      Sampling.stratifiedHashSample(joined, "lang_pred",
+        Map("en" -> 0.6), default = 0.1)
+        .select("doc_id", "lang_pred").orderBy("doc_id")
+    }),
 
     // ---- multimodal plumbing ----
     "multimodal_meta" -> ((s, dir) =>
@@ -1209,6 +1228,7 @@ object SparkEntry {
         |SELECT gram, count(*) AS n FROM g GROUP BY gram
         |ORDER BY n DESC, gram LIMIT 100""".stripMargin,
     "corpus_split" -> corpusSplitSql,
+    "corpus_stratified" -> corpusStratifiedSql,
     "q_asof_join" -> asofJoinSql,
     "q_asof_join_sharded" -> asofJoinSql,
     "q_sessions" -> sessionsSql,
