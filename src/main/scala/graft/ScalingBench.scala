@@ -337,17 +337,22 @@ object ScalingBench {
         .filter(col("hd") <= 3)
         .select("id_a", "id_b")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nPlanted = n / 20
+      val nPlanted = planted.count()
       val nEligible = eligible.count()
       val found = pairs.select("id_a", "id_b")
       val missing = eligible.exceptAll(found).count()
-      val extra = found.exceptAll(eligible).count()
+      // pairs the operator found beyond the planted set: at this n a
+      // random Hamming<=3 collision is ~2.4e-15 per pair (astronomically
+      // unlikely), but it would be a LEGITIMATE find — so it is reported,
+      // and the exhaustiveness verdict (every eligible pair found) does
+      // not depend on it
+      val nonPlanted = found.exceptAll(eligible).count()
       s.stop()
       println(
         s"""{"metric":"simdedup_scale","cpus":$cpus,"n":$n,"sec":${f"$sec%.2f"},""" +
         s""""docs_per_sec":${f"${n / sec}%.1f"},"pairs":$nPairs,"planted":$nPlanted,""" +
-        s""""eligible_hamming_le3":$nEligible,"missing":$missing,"extra":$extra,""" +
-        s""""exhaustive":${missing == 0 && extra == 0}}""")
+        s""""eligible_hamming_le3":$nEligible,"missing":$missing,""" +
+        s""""non_planted_found":$nonPlanted,"exhaustive":${missing == 0}}""")
 
     case "ann" :: cpusStr :: nStr :: Nil =>
       // IVF ANN at corpus scale: fit on n deterministic vectors (the

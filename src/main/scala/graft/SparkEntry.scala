@@ -1091,13 +1091,13 @@ object SparkEntry {
         .select("doc_id", "bucket", "split").orderBy("doc_id")),
     // per-stratum rebalancing (keep 60% of en, 10% of everything else) —
     // the bucket cut AND the language assignment both re-derived in DuckDB
-    "corpus_stratified" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-      val joined = docs.join(TextAnalysis.langId(docs), "doc_id")
-      Sampling.stratifiedHashSample(joined, "lang_pred",
-        Map("en" -> 0.6), default = 0.1)
-        .select("doc_id", "lang_pred").orderBy("doc_id")
-    }),
+    "corpus_stratified" -> ((s, dir) =>
+      // langId already emits exactly (doc_id, lang_pred) — joining the
+      // docs back would double the scan for columns the query drops
+      Sampling.stratifiedHashSample(
+        TextAnalysis.langId(s.read.parquet(s"$dir/documents.parquet")),
+        "lang_pred", Map("en" -> 0.6), default = 0.1)
+        .orderBy("doc_id")),
 
     // ---- multimodal plumbing ----
     "multimodal_meta" -> ((s, dir) =>

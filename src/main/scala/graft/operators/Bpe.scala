@@ -91,8 +91,14 @@ object Bpe {
   def train(docs: DataFrame, textCol: String = "text", numMerges: Int = 8,
             eowMarker: Option[String] = None): Seq[Merge] = {
     require(numMerges >= 1)
-    require(eowMarker.forall(m => m.nonEmpty && !m.exists(_.isWhitespace)),
-      "the end-of-word marker must be non-empty and whitespace-free")
+    // ≥2 codepoints: a single-codepoint marker is indistinguishable from
+    // that literal character's symbol, silently conflating word-final
+    // context with text. (A multi-codepoint marker like "</w>" can still
+    // collide only if merges reassemble the identical string from corpus
+    // text that literally contains it — the standard, documented caveat.)
+    require(eowMarker.forall(m =>
+        m.codePointCount(0, m.length) > 1 && !m.exists(_.isWhitespace)),
+      "the end-of-word marker must be >= 2 codepoints and whitespace-free")
     val symsUdf = udf((w: String) => initialSyms(w, eowMarker))
     var state = wordTypes(docs, textCol)
       .select(symsUdf(col("word")).as("syms"), col("cnt"))

@@ -393,7 +393,9 @@ class PipelineOpsSpec extends AnyFunSuite {
     val em = Bpe.train(df, numMerges = 8, eowMarker = eow)
     assert(em.exists(m => m.right.endsWith("</w>") || m.left.endsWith("</w>")),
       s"no merge absorbed the marker: $em")
-    assert(em.map(m => (m.left, m.right)) != merges.map(m => (m.left, m.right)))
+    // compare at EQUAL numMerges — different lengths would differ trivially
+    val merges8 = Bpe.train(df, numMerges = 8)
+    assert(em.map(m => (m.left, m.right)) != merges8.map(m => (m.left, m.right)))
     val ew = Bpe.applyMerges("low", em, eow)
     assert(ew.last.endsWith("</w>"), s"word-final unit must carry the marker: $ew")
     // counts under the marker table still agree with direct application
