@@ -459,6 +459,85 @@ object ScalingBench {
         s""""events_per_sec":${f"${n / sec}%.1f"},"sessions":$nSess,"truth_sessions":$nTruth,""" +
         s""""matched":$nBoth,"exact_match":${nSess == nTruth && nBoth == nSess}}""")
 
+    case "minhash_stream" :: cpusStr :: nStr :: Nil =>
+      // STREAMING minhash dedup at scale: the same planted DocsGen corpus
+      // as the batch `dedup` mode, fed as a parquet file stream in 10
+      // id-ordered chunks through minhashPairsStream (per-bucket custom
+      // state, cross-batch). The claim: the DISTINCT emitted pair set —
+      // pairs surface the moment the LATER near-dup arrives, possibly
+      // many micro-batches after its partner — must EXACTLY equal the
+      // batch operator's pair set, compared by distributed count +
+      // bit_xor checksum over (id_a, id_b, est). No bucket exceeds the
+      // cap at this corpus shape, so cap-eviction semantics never differ.
+      val cpus = cpusStr.toInt
+      val n = nStr.toLong
+      val s = Bench.buildSession(cpus, s"graft-minhash-stream-$cpus")
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val parts = cpus * 4
+      val docs = graft.sources.DocsGen.docs(s, n, parts)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docs.count()
+      // batch reference (untimed): same kernel params as the stream below
+      val bref = graft.operators.Dedup
+        .minhashLshPairs(docs, threshold = 0.35, bands = 32, maxBucket = 64)
+        .select(col("id_a"), col("id_b"),
+          round(col("est_jaccard") * 1e9).cast("long").as("e"))
+        .agg(count(lit(1)), bit_xor(xxhash64(col("id_a"), col("id_b"), col("e")))).head()
+      val (bCount, bXor) = (bref.getLong(0), if (bref.isNullAt(1)) 0L else bref.getLong(1))
+      // publish id-ordered chunks (near-dup partners usually land in
+      // EARLIER chunks than their mutants' tail ids — the cross-batch case)
+      val watch = java.nio.file.Files.createTempDirectory("graft-mh-stream-").toString
+      val stage = java.nio.file.Files.createTempDirectory("graft-mh-stage-").toString
+      val chunks = 10
+      val width = n / chunks + 1
+      val filesPerChunk = 8
+      (0 until chunks).foreach { i =>
+        val tmp = s"$stage/c$i"
+        docs.filter(col("doc_id") >= i.toLong * width && col("doc_id") < (i + 1).toLong * width)
+          .repartition(filesPerChunk).write.mode("overwrite").parquet(tmp)
+        val parts0 = java.nio.file.Files.list(java.nio.file.Paths.get(tmp)).iterator()
+        val srcs = scala.jdk.CollectionConverters.IteratorHasAsScala(parts0).asScala
+          .filter(_.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+        require(srcs.size == filesPerChunk,
+          s"chunk $i wrote ${srcs.size} files (need $filesPerChunk): n too small")
+        srcs.zipWithIndex.foreach { case (src, j) =>
+          val dst = java.nio.file.Paths.get(watch, f"chunk-$i%05d-$j%03d.parquet")
+          java.nio.file.Files.move(src, dst)
+          dst.toFile.setLastModified(1700000000000L + i * 10000L)
+        }
+      }
+      val stream = s.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", filesPerChunk.toString).parquet(watch)
+      val perBatch = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, (Long, Long)]()
+      val t0 = System.nanoTime()
+      val q = graft.streaming.StreamOps
+        .minhashPairsStream(stream, threshold = 0.35, bands = 32, maxBucket = 64)
+        .writeStream.foreachBatch {
+          (ds: org.apache.spark.sql.Dataset[graft.streaming.StreamOps.StreamPair], batchId: Long) =>
+            // a pair emits once per shared bucket — dedupe WITHIN the batch
+            // (all emissions of a pair happen in its later doc's batch)
+            val r = ds.toDF()
+              .select(col("id_a"), col("id_b"),
+                round(col("est_jaccard") * 1e9).cast("long").as("e"))
+              .distinct()
+              .agg(count(lit(1)), bit_xor(xxhash64(col("id_a"), col("id_b"), col("e")))).head()
+            perBatch.put(batchId, (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+            ()
+        }.start()
+      q.processAllAvailable()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      val sCount = perBatch.values.asScala.map(_._1).sum
+      val sXor = perBatch.values.asScala.map(_._2).foldLeft(0L)(_ ^ _)
+      s.stop()
+      println(
+        s"""{"metric":"minhash_stream_scale","cpus":$cpus,"n":$n,"sec":${f"$sec%.2f"},""" +
+        s""""docs_per_sec":${f"${n / sec}%.1f"},"stream_pairs":$sCount,"batch_pairs":$bCount,""" +
+        s""""exact_match":${sCount == bCount && sXor == bXor},"state_rows":$stateRows}""")
+
     case "sessions_stream" :: cpusStr :: nStr :: Nil =>
       // STREAMING sessionization at scale: the same deterministic event
       // universe as the `sessions` mode (per-user pseudo-random 1..50-min
@@ -662,7 +741,7 @@ object ScalingBench {
       println(s"""{"metric":"control","threads":$threads,"sec":${f"$sec%.2f"},"docs":$docs,"docs_per_sec":${f"${docs / sec}%.1f"},"docs_per_sec_per_thread":${f"${docs / sec / threads}%.1f"}}""")
 
     case _ =>
-      System.err.println("usage: ScalingBench gen <n> | run <cpus> <n> | kernel <cpus> <n> | dedup <cpus> <n> | substr <cpus> <n> | sessions <cpus> <n> | sessions_stream <cpus> <n> | bpe <cpus> <n> | minhash_add <cpus> <n> | embdedup <cpus> <n> | ann <cpus> <n> | simdedup <cpus> <n> | control <threads> [nDocs]")
+      System.err.println("usage: ScalingBench gen <n> | run <cpus> <n> | kernel <cpus> <n> | dedup <cpus> <n> | substr <cpus> <n> | sessions <cpus> <n> | sessions_stream <cpus> <n> | minhash_stream <cpus> <n> | bpe <cpus> <n> | minhash_add <cpus> <n> | embdedup <cpus> <n> | ann <cpus> <n> | simdedup <cpus> <n> | control <threads> [nDocs]")
       sys.exit(2)
   }
 }
