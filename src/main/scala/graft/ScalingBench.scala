@@ -22,6 +22,17 @@ object ScalingBench {
   private def warmDir = "/tmp/graft_scaling_pages_warm"
   private val warmN = 20000L
 
+  /** Best-effort recursive delete of a bench temp dir. */
+  private def deleteRec(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      val st = java.nio.file.Files.walk(p)
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(st.iterator()).asScala
+        .toSeq.reverse.foreach(f => java.nio.file.Files.deleteIfExists(f))
+      finally st.close()
+    }
+  }
+
   /** Deterministic 64-dim bench vector of `id` — the ONE definition shared
     * by the embdedup and ann modes (their cross-comparability depends on
     * an identical vector universe). */
@@ -485,20 +496,32 @@ object ScalingBench {
           round(col("est_jaccard") * 1e9).cast("long").as("e"))
         .agg(count(lit(1)), bit_xor(xxhash64(col("id_a"), col("id_b"), col("e")))).head()
       val (bCount, bXor) = (bref.getLong(0), if (bref.isNullAt(1)) 0L else bref.getLong(1))
-      // publish id-ordered chunks (near-dup partners usually land in
-      // EARLIER chunks than their mutants' tail ids — the cross-batch case)
+      // the comparison is only sound while no bucket crosses the cap
+      // (beyond it, batch keeps the smallest ids and the stream the most
+      // recent — legitimately different members): measure and refuse
+      val capIdx = graft.operators.Dedup.minhashFit(docs, bands = 32)
+      val maxBucketObserved = capIdx.bandSegments.head
+        .groupBy("band_idx", "band_hash").count().agg(max("count")).head().getLong(0)
+      capIdx.close()
+      require(maxBucketObserved <= 64,
+        s"a bucket holds $maxBucketObserved members (> cap 64): batch/stream eviction semantics differ")
+      // publish chunks by id MODULO chunk-count: mutant groups (consecutive
+      // ids) spread across chunks, so most pairs cross micro-batches and
+      // partners land up to chunks-1 batches apart — the long-range
+      // cross-batch state lookup is what this validates
       val watch = java.nio.file.Files.createTempDirectory("graft-mh-stream-").toString
       val stage = java.nio.file.Files.createTempDirectory("graft-mh-stage-").toString
-      val chunks = 10
-      val width = n / chunks + 1
+      val chunks = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "10").toInt
       val filesPerChunk = 8
       (0 until chunks).foreach { i =>
         val tmp = s"$stage/c$i"
-        docs.filter(col("doc_id") >= i.toLong * width && col("doc_id") < (i + 1).toLong * width)
+        docs.filter(col("doc_id") % chunks === i)
           .repartition(filesPerChunk).write.mode("overwrite").parquet(tmp)
-        val parts0 = java.nio.file.Files.list(java.nio.file.Paths.get(tmp)).iterator()
-        val srcs = scala.jdk.CollectionConverters.IteratorHasAsScala(parts0).asScala
-          .filter(_.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+        val st0 = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        val srcs =
+          try scala.jdk.CollectionConverters.IteratorHasAsScala(st0.iterator()).asScala
+            .filter(_.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+          finally st0.close()
         require(srcs.size == filesPerChunk,
           s"chunk $i wrote ${srcs.size} files (need $filesPerChunk): n too small")
         srcs.zipWithIndex.foreach { case (src, j) =>
@@ -507,6 +530,7 @@ object ScalingBench {
           dst.toFile.setLastModified(1700000000000L + i * 10000L)
         }
       }
+      docs.unpersist() // the timed stream run must not compete with this cache
       val stream = s.readStream.schema("doc_id BIGINT, text STRING")
         .option("maxFilesPerTrigger", filesPerChunk.toString).parquet(watch)
       val perBatch = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, (Long, Long)]()
@@ -536,7 +560,9 @@ object ScalingBench {
       println(
         s"""{"metric":"minhash_stream_scale","cpus":$cpus,"n":$n,"sec":${f"$sec%.2f"},""" +
         s""""docs_per_sec":${f"${n / sec}%.1f"},"stream_pairs":$sCount,"batch_pairs":$bCount,""" +
-        s""""exact_match":${sCount == bCount && sXor == bXor},"state_rows":$stateRows}""")
+        s""""exact_match":${sCount == bCount && sXor == bXor},"state_rows":$stateRows,""" +
+        s""""max_bucket_observed":$maxBucketObserved}""")
+      deleteRec(watch); deleteRec(stage)
 
     case "sessions_stream" :: cpusStr :: nStr :: Nil =>
       // STREAMING sessionization at scale: the same deterministic event
@@ -588,9 +614,11 @@ object ScalingBench {
         val tmp = s"$stage/c$i"
         df.select("event_id", "ts", "user_id", "event_type", "value")
           .repartition(filesPerChunk).write.mode("overwrite").parquet(tmp)
-        val parts0 = java.nio.file.Files.list(java.nio.file.Paths.get(tmp)).iterator()
-        val srcs = scala.jdk.CollectionConverters.IteratorHasAsScala(parts0).asScala
-          .filter(_.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+        val st0 = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        val srcs =
+          try scala.jdk.CollectionConverters.IteratorHasAsScala(st0.iterator()).asScala
+            .filter(_.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+          finally st0.close()
         // the one-chunk-per-micro-batch alignment REQUIRES exactly
         // filesPerChunk files per real chunk: a short chunk (empty
         // round-robin partitions at tiny n) would let maxFilesPerTrigger
@@ -676,6 +704,7 @@ object ScalingBench {
         s""""events_per_sec":${f"${n / sec}%.1f"},"sessions":$nSessTotal,""" +
         s""""truth_sessions":${truthRow.getLong(0)},"exact_match":$matches,""" +
         s""""final_state_rows":$stateRows}""")
+      deleteRec(watch); deleteRec(stage)
 
     case "bpe" :: cpusStr :: nStr :: Nil =>
       // BPE training at corpus scale: n DocsGen docs → 16 merge rounds.
