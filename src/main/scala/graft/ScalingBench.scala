@@ -564,6 +564,86 @@ object ScalingBench {
         s""""max_bucket_observed":$maxBucketObserved}""")
       deleteRec(watch); deleteRec(stage)
 
+    case "substr_stream" :: cpusStr :: nStr :: Nil =>
+      // STREAMING duplicated-window detection at scale: the same planted
+      // DocsGen corpus as the batch `substr` mode, chunked by doc id
+      // MODULO batch-count (duplicate windows' docs arrive many
+      // micro-batches apart, including the retroactive first-occurrence
+      // emission). The DISTINCT emitted (doc_id, pos) set must EXACTLY
+      // equal the batch operator's duplicated-position set (spans expanded
+      // back to their window start positions).
+      val cpus = cpusStr.toInt
+      val n = nStr.toLong
+      val s = Bench.buildSession(cpus, s"graft-substr-stream-$cpus")
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val parts = cpus * 4
+      val minLen = 10
+      val docs = graft.sources.DocsGen.docs(s, n, parts)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docs.count()
+      // batch reference (untimed): spans → their duplicated window positions
+      val bref = graft.operators.Dedup.duplicatedSpans(docs, minLen = minLen)
+        .select(col("doc_id"),
+          explode(sequence(col("start_tok"), col("end_tok") - (minLen - 1))).as("pos"))
+        .agg(count(lit(1)), bit_xor(xxhash64(col("doc_id"), col("pos")))).head()
+      val (bCount, bXor) = (bref.getLong(0), if (bref.isNullAt(1)) 0L else bref.getLong(1))
+      val watch = java.nio.file.Files.createTempDirectory("graft-ss-stream-").toString
+      val stage = java.nio.file.Files.createTempDirectory("graft-ss-stage-").toString
+      val chunks = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "10").toInt
+      val filesPerChunk = 8
+      (0 until chunks).foreach { i =>
+        val tmp = s"$stage/c$i"
+        docs.filter(col("doc_id") % chunks === i)
+          .repartition(filesPerChunk).write.mode("overwrite").parquet(tmp)
+        val st0 = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        val srcs =
+          try scala.jdk.CollectionConverters.IteratorHasAsScala(st0.iterator()).asScala
+            .filter(_.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+          finally st0.close()
+        require(srcs.size == filesPerChunk,
+          s"chunk $i wrote ${srcs.size} files (need $filesPerChunk): n too small")
+        srcs.zipWithIndex.foreach { case (src, j) =>
+          val dst = java.nio.file.Paths.get(watch, f"chunk-$i%05d-$j%03d.parquet")
+          java.nio.file.Files.move(src, dst)
+          dst.toFile.setLastModified(1700000000000L + i * 10000L)
+        }
+      }
+      docs.unpersist()
+      val stream = s.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", filesPerChunk.toString).parquet(watch)
+      val perBatch = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, (Long, Long)]()
+      val t0 = System.nanoTime()
+      val q = graft.streaming.StreamOps
+        .substringDupWindowsStream(stream, minLen = minLen)
+        .writeStream.foreachBatch {
+          (ds: org.apache.spark.sql.Dataset[graft.streaming.StreamOps.DupWindow], batchId: Long) =>
+            // replay may re-emit an already-emitted tuple; dedupe in-batch
+            // (cross-batch repeats cancel in the xor only if replayed an
+            // even number of times — count equality catches the rest)
+            // pos is Int in DupWindow but Long in the batch expansion —
+            // xxhash64 is type-sensitive, so align before hashing
+            val r = ds.toDF().distinct()
+              .agg(count(lit(1)),
+                bit_xor(xxhash64(col("doc_id"), col("pos").cast("long")))).head()
+            perBatch.put(batchId, (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+            ()
+        }.start()
+      q.processAllAvailable()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      val sCount = perBatch.values.asScala.map(_._1).sum
+      val sXor = perBatch.values.asScala.map(_._2).foldLeft(0L)(_ ^ _)
+      s.stop()
+      deleteRec(watch); deleteRec(stage)
+      println(
+        s"""{"metric":"substr_stream_scale","cpus":$cpus,"n":$n,"sec":${f"$sec%.2f"},""" +
+        s""""docs_per_sec":${f"${n / sec}%.1f"},"stream_positions":$sCount,""" +
+        s""""batch_positions":$bCount,"exact_match":${sCount == bCount && sXor == bXor},""" +
+        s""""state_rows":$stateRows}""")
+
     case "sessions_stream" :: cpusStr :: nStr :: Nil =>
       // STREAMING sessionization at scale: the same deterministic event
       // universe as the `sessions` mode (per-user pseudo-random 1..50-min
@@ -770,7 +850,7 @@ object ScalingBench {
       println(s"""{"metric":"control","threads":$threads,"sec":${f"$sec%.2f"},"docs":$docs,"docs_per_sec":${f"${docs / sec}%.1f"},"docs_per_sec_per_thread":${f"${docs / sec / threads}%.1f"}}""")
 
     case _ =>
-      System.err.println("usage: ScalingBench gen <n> | run <cpus> <n> | kernel <cpus> <n> | dedup <cpus> <n> | substr <cpus> <n> | sessions <cpus> <n> | sessions_stream <cpus> <n> | minhash_stream <cpus> <n> | bpe <cpus> <n> | minhash_add <cpus> <n> | embdedup <cpus> <n> | ann <cpus> <n> | simdedup <cpus> <n> | control <threads> [nDocs]")
+      System.err.println("usage: ScalingBench gen <n> | run <cpus> <n> | kernel <cpus> <n> | dedup <cpus> <n> | substr <cpus> <n> | sessions <cpus> <n> | sessions_stream <cpus> <n> | minhash_stream <cpus> <n> | substr_stream <cpus> <n> | bpe <cpus> <n> | minhash_add <cpus> <n> | embdedup <cpus> <n> | ann <cpus> <n> | simdedup <cpus> <n> | control <threads> [nDocs]")
       sys.exit(2)
   }
 }
