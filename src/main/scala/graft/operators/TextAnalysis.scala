@@ -64,8 +64,13 @@ object TextAnalysis {
    * `extraKeys` prepend additional grouping columns from `docs` (e.g. the
    * hashSplit label — the report-then-split publishing flow); doc_share
    * stays relative to the WHOLE frame, not the extra-key stratum.
-   * Returns (extraKeys..., lang_pred, n_docs, total_tokens, doc_share,
-   * mean_quality).
+   * Returns (extraKeys..., lang_pred, n_docs, total_tokens, grand_docs,
+   * q_scaled, doc_share, mean_quality). The first six columns are INTEGRAL
+   * (longs) — the correctness-gate projection, hash-stable across engines
+   * and engine versions; doc_share/mean_quality are the derived
+   * convenience doubles (doc_share = n_docs/grand_docs, mean_quality =
+   * q_scaled/(n_docs·10^4)) whose last-decimal rounding is inherently
+   * engine-sensitive, so gates should compare the integral pair instead.
    */
   def corpusStats(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                   extraKeys: Seq[String] = Nil): DataFrame = {
@@ -75,18 +80,22 @@ object TextAnalysis {
       .select(extraKeys.map(col) ++ Seq(col("lang_pred"),
         col("q.nTokens").as("n_tokens"), col("q.score").as("quality_score")): _*)
     // the grouped frame (one row per distinct key combo) feeds BOTH the
-    // scalar total and the final projection: materialize it eagerly so the
-    // corpus pass runs ONCE — a lazy plan would re-scan and re-score the
-    // whole corpus for each reference (plan-audited; at 100 TB the second
-    // pass dwarfs everything else in this operator)
+    // scalar total and the final projection: persist it so the corpus pass
+    // runs ONCE — both plan branches share the same InMemoryRelation, and
+    // a lazy un-cached plan would re-scan and re-score the whole corpus
+    // for each reference (plan-audited; at 100 TB the second pass dwarfs
+    // everything else in this operator). The cached frame is tiny (one
+    // row per distinct key combo) and is LRU-managed; an eviction costs a
+    // recompute, never correctness.
     val grouped = base.groupBy((extraKeys :+ "lang_pred").map(col): _*)
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").as("total_tokens"),
         sum(round(round(col("quality_score"), 4) * 10000).cast("long")).as("q_scaled"))
-      .localCheckpoint(true)
+      .persist()
     val total = grouped.agg(sum("n_docs").as("grand_docs"))
     grouped.crossJoin(broadcast(total))
       .select(extraKeys.map(col) ++ Seq(col("lang_pred"), col("n_docs"), col("total_tokens"),
+        col("grand_docs"), col("q_scaled"),
         round(col("n_docs") / col("grand_docs"), 4).as("doc_share"),
         (col("q_scaled").cast("double") / (col("n_docs") * lit(10000.0))).as("mean_quality")): _*)
   }
@@ -98,7 +107,9 @@ object TextAnalysis {
    * hashing, then one df aggregation + one doc-keyed aggregation — two
    * hash shuffles total at any corpus size). Docs with no grams (empty
    * text) are absent, matching the SQL oracle.
-   * Returns (id, n_grams, dup_ngram_ratio).
+   * Returns (id, n_grams, n_dup, dup_ngram_ratio) — the integral
+   * (n_grams, n_dup) pair is the hash-stable gate shape; the ratio is the
+   * derived convenience double.
    */
   def dupNgramRatio(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                     k: Int = 3): DataFrame = {
@@ -107,8 +118,8 @@ object TextAnalysis {
     grams.join(dfCounts, "gh")
       .groupBy(col("id").as(idCol))
       .agg(count(lit(1)).as("n_grams"),
-        (sum(when(col("df") > 1, 1).otherwise(0)).cast("double") / count(lit(1)))
-          .as("dup_ngram_ratio"))
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_ngram_ratio", col("n_dup").cast("double") / col("n_grams"))
   }
 
   /**
@@ -140,7 +151,9 @@ object TextAnalysis {
    * for degenerate repeated text (a standard LM-corpus quality cut).
    * Fully declarative (sequence/transform/array_distinct — codegen'd, no
    * UDF); docs with < 2 tokens score 0. Returns (id, n_bigrams,
-   * repetition_ratio).
+   * n_distinct, repetition_ratio) — the integral (n_bigrams, n_distinct)
+   * pair is the hash-stable gate shape; the ratio is the derived
+   * convenience double.
    */
   def repetitionRatio(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val toks = when(length(trim(col(textCol))) === 0, array().cast("array<string>"))
@@ -150,9 +163,10 @@ object TextAnalysis {
         when(size(col("t")) < 2, array().cast("array<string>"))
           .otherwise(transform(sequence(lit(0), size(col("t")) - 2),
             i => concat_ws(" ", element_at(col("t"), i + 1), element_at(col("t"), i + 2)))))
-      .select(col(idCol), size(col("bigrams")).as("n_bigrams"),
-        when(size(col("bigrams")) === 0, lit(0.0))
-          .otherwise(lit(1.0) - size(array_distinct(col("bigrams"))).cast("double") / size(col("bigrams")))
-          .as("repetition_ratio"))
+      .select(col(idCol), size(col("bigrams")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("bigrams"))).cast("long").as("n_distinct"))
+      .withColumn("repetition_ratio",
+        when(col("n_bigrams") === 0, lit(0.0))
+          .otherwise(lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams")))
   }
 }

@@ -94,13 +94,13 @@ class PipelineOpsSpec extends AnyFunSuite {
     // spans both dispatch regimes of ngramJaccard (crossover 0.7) and
     // exercises the length + positional filters at high and low t
     for ((df, t) <- Seq((crafted, 0.5), (crafted, 0.3), (crafted, 0.8), (docs, 0.3), (docs, 0.8))) {
-      val naive = Dedup.ngramJaccardAllPairs(df, threshold = t)
-        .collect().map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSet
-      val pref = Dedup.ngramJaccardPrefixJoin(df, threshold = t)
-        .collect().map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSet
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Long]("inter"), r.getAs[Long]("uni"),
+          math.round(r.getAs[Double]("jaccard") * 1e9))
+      val naive = Dedup.ngramJaccardAllPairs(df, threshold = t).collect().map(key).toSet
+      val pref = Dedup.ngramJaccardPrefixJoin(df, threshold = t).collect().map(key).toSet
       assert(pref == naive, s"prefix join diverged at t=$t")
-      val adaptive = Dedup.ngramJaccard(df, threshold = t)
-        .collect().map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSet
+      val adaptive = Dedup.ngramJaccard(df, threshold = t).collect().map(key).toSet
       assert(adaptive == naive, s"adaptive dispatch diverged at t=$t")
     }
     // degenerate corpus: the common gram falls out of every prefix — no
@@ -665,11 +665,11 @@ class PipelineOpsSpec extends AnyFunSuite {
       (0L, "spam spam spam spam"),
       (1L, "the quick brown fox jumps"),
       (2L, ""), (3L, "one")).toDF("doc_id", "text")).collect()
-      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Int]("n_bigrams"), r.getAs[Double]("repetition_ratio"))).toMap
-    assert(repRows(0L) == ((3, 1.0 - 1.0 / 3)))
-    assert(repRows(1L) == ((4, 0.0)))
-    assert(repRows(2L) == ((0, 0.0)))
-    assert(repRows(3L) == ((0, 0.0)))
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_bigrams"), r.getAs[Double]("repetition_ratio"))).toMap
+    assert(repRows(0L) == ((3L, 1.0 - 1.0 / 3)))
+    assert(repRows(1L) == ((4L, 0.0)))
+    assert(repRows(2L) == ((0L, 0.0)))
+    assert(repRows(3L) == ((0L, 0.0)))
   }
 
   test("multimodal: synthesize → decode → resize → frame-sample plumbing") {
