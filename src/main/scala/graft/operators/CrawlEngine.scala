@@ -81,7 +81,19 @@ final case class CrawlConfig(
       * depth/score within host partitions". Only observable under a
       * politeness budget (without one every frontier row is fetched this
       * round anyway). Example: "1.0 / (depth + 1)" or "-char_length(url)". */
-    priorityScore: Option[String] = None
+    priorityScore: Option[String] = None,
+    /** How a multi-capture pages table (several `warc_ts` snapshots per
+      * url — the Common-Crawl shape the input contract allows) resolves to
+      * ONE fetched body per url:
+      *  - "auto" (default): one cheap url-pruned count-vs-distinct probe
+      *    per crawl decides; single-capture tables (the common case, and
+      *    every bench graph) pay ZERO per-round cost;
+      *  - "latest": always reduce to the max-warc_ts capture (one
+      *    url-keyed max_by aggregation folded into the fetch side);
+      *  - "single": trust the table to be one-row-per-url (skip both the
+      *    probe and the aggregation — duplicates, if present, would fan
+      *    out the fetch join). */
+    snapshotMode: String = "auto"
 )
 
 final case class RoundCounters(
@@ -166,21 +178,67 @@ final class CrawlEngine(
     java.nio.file.Files.createTempDirectory("graft-crawl-").toString
   }
 
-  // explicit column pruning: the fetch join only ever needs (url, html)
-  private val pagesSlim = pages.select(col("url"), col("html"))
+  require(Set("auto", "latest", "single")(cfg.snapshotMode),
+    s"snapshotMode must be auto|latest|single, got ${cfg.snapshotMode}")
+
+  private val hasWarcTs = pages.columns.contains("warc_ts")
+
+  /** Does the table hold several captures of some url? Resolved once per
+    * engine ("auto": a url-column-pruned count-vs-distinct probe — two
+    * cheap scan aggregates, amortized over every round of every crawl). */
+  private lazy val multiCapture: Boolean = cfg.snapshotMode match {
+    case "single" => false
+    case "latest" => hasWarcTs
+    case _ =>
+      hasWarcTs && {
+        val r = pages.agg(count(lit(1)).as("n"), countDistinct(col("url")).as("d")).head()
+        r.getLong(0) != r.getLong(1)
+      }
+  }
+
+  // explicit column pruning: the fetch join only ever needs (url, html).
+  // A multi-capture table (the input contract's warc_ts column carries
+  // several snapshots per url on real Common-Crawl data) resolves to the
+  // LATEST capture per url — max_by on (warc_ts, html), a url-keyed
+  // aggregation with map-side partial max, so at 100 TB the shuffle
+  // carries one candidate row per url per partition, not every capture.
+  // Ties (equal warc_ts) break on the body bytes, deterministically; a
+  // null warc_ts capture loses to any timestamped one.
+  private lazy val pagesSlim: DataFrame =
+    if (multiCapture)
+      pages.groupBy("url")
+        .agg(max(struct(col("warc_ts"), col("html"))).as("m"))
+        .select(col("url"), col("m.html").as("html"))
+    else pages.select(col("url"), col("html"))
 
   graft.functions.UrlExpressions.registerAll(spark)
 
   /** One batched lookup for ALL robots.txt urls: a single isin scan /
     * Spark job regardless of seed count (a per-seed filter+collect would
-    * issue O(seeds) jobs — round-2 VERDICT #5). */
-  private[graft] def robotsBytesFor(robotsUrls: Seq[String]): Map[String, Array[Byte]] =
-    if (robotsUrls.isEmpty) Map.empty
-    else pagesSlim
+    * issue O(seeds) jobs — round-2 VERDICT #5). Multi-capture robots rows
+    * resolve to max-warc_ts DRIVER-side over the collected handful (one
+    * row per seed-ish) — no extra Spark job, same latest-snapshot
+    * semantics and tie-break as the fetch join. */
+  private[graft] def robotsBytesFor(robotsUrls: Seq[String]): Map[String, Array[Byte]] = {
+    if (robotsUrls.isEmpty) return Map.empty
+    val projected =
+      if (hasWarcTs) pages.select(col("url"), col("html"), col("warc_ts"))
+      else pages.select(col("url"), col("html"), lit(null).cast("timestamp").as("warc_ts"))
+    projected
       .filter(col("url").isin(robotsUrls.distinct: _*))
       .collect()
-      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1))
-      .toMap
+      .groupBy(_.getString(0))
+      .map { case (u, rows) =>
+        val best = rows.reduceLeft { (a, b) =>
+          val ta = Option(a.getTimestamp(2)).map(_.getTime).getOrElse(Long.MinValue)
+          val tb = Option(b.getTimestamp(2)).map(_.getTime).getOrElse(Long.MinValue)
+          if (ta != tb) { if (ta > tb) a else b }
+          else if (java.util.Arrays.compareUnsigned(
+            a.getAs[Array[Byte]](1), b.getAs[Array[Byte]](1)) >= 0) a else b
+        }
+        u -> best.getAs[Array[Byte]](1)
+      }
+  }
 
   /** Reference single-seed API: GET /crawl/{seed} (api.rs:119-135). */
   def crawl(seed: String): CrawlRun = crawlAll(Seq(seed))

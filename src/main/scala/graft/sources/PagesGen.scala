@@ -204,6 +204,23 @@ object PagesGen {
     spark.createDataset(fixtureRows()).toDF()
   }
 
+  /** Multi-capture fixture table — the Common-Crawl shape the input
+    * contract allows (several `warc_ts` snapshots per url). /start is
+    * captured TWICE: an older capture linking to /old-only and a newer one
+    * (different body AND Content-Type) linking to /new. A latest-snapshot
+    * fetch serves the newer body, so a crawl discovers /new and never
+    * /old-only — crawling /old-only at all proves the stale capture won. */
+  def multiSnapshotFixtures(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val h = host("multi-snapshot")
+    val rows = Seq(
+      mkRow(s"$h/start", okHtml(htmlWithLinks(Seq(s"$h/old-only"))), 0L),
+      mkRow(s"$h/start", okHtmlUtf8(htmlWithLinks(Seq(s"$h/new"))), 86400L),
+      mkRow(s"$h/old-only", okHtml(htmlWithLinks(Seq.empty)), 1L),
+      mkRow(s"$h/new", okHtml(htmlWithLinks(Seq.empty)), 2L))
+    spark.createDataset(rows).toDF()
+  }
+
   // ---- scale graph ---------------------------------------------------------
 
   final case class ScaleSpec(n: Long, hosts: Int) {

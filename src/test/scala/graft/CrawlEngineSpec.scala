@@ -520,6 +520,30 @@ class CrawlEngineSpec extends AnyFunSuite {
     }
   }
 
+  test("latest-snapshot fetch: a multi-capture pages table serves max-warc_ts per url") {
+    import spark.implicits._
+    val h = PagesGen.host("multi-snapshot")
+    val seed = s"$h/start"
+    val mp = PagesGen.multiSnapshotFixtures(spark)
+    // auto mode detects the duplicate capture and serves the NEWEST body:
+    // the crawl follows the new capture's link to /new; the stale capture's
+    // /old-only is never discovered (and never fetched — exactly-once)
+    val urls = new CrawlEngine(spark, mp).crawl(seed)
+      .resultFor(seed).select("url").as[String].collect().toSet
+    assert(urls == Set(seed, s"$h/new"), s"got $urls")
+    // explicit latest mode skips the probe, same result
+    val urls2 = new CrawlEngine(spark, mp, CrawlConfig(snapshotMode = "latest")).crawl(seed)
+      .resultFor(seed).select("url").as[String].collect().toSet
+    assert(urls2 == urls)
+    // a single-capture table under auto takes the zero-aggregation path and
+    // crawls identically to the explicit single mode
+    val ct = "http://127.0.0.1:8000/start"
+    val a = new CrawlEngine(spark, pages).crawl(ct).resultFor(ct).count()
+    val b = new CrawlEngine(spark, pages, CrawlConfig(snapshotMode = "single")).crawl(ct)
+      .resultFor(ct).count()
+    assert(a == 6 && b == 6)
+  }
+
   test("text column invariant: extract_text(html bytes) == text column, byte-identical") {
     import graft.functions.GraftFunctions
     val mismatches = pages
