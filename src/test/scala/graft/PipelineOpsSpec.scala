@@ -672,6 +672,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(repRows(3L) == ((0L, 0.0)))
   }
 
+  test("multimodal: real PNG IHDR and JPEG SOF header decode") {
+    import graft.operators.Multimodal._
+    assert(decodeHeader(pngHeader(640, 480)) == Some(("png", 640, 480)))
+    assert(decodeHeader(pngHeader(1, 1)) == Some(("png", 1, 1)))
+    assert(decodeHeader(jpegHeader(123, 77)) == Some(("jpeg", 123, 77)))
+    assert(decodeHeader(jpegHeader(65535, 1)) == Some(("jpeg", 65535, 1)))
+    // a progressive-style SOF2 after an extra marker segment still parses
+    val sof2 = {
+      val j = jpegHeader(320, 200)
+      val dqt = Array(0xff, 0xdb, 0x00, 0x04, 0x00, 0x00).map(_.toByte) // dummy DQT
+      j.take(20) ++ dqt ++ j.drop(20).updated(1, 0xc2.toByte)
+    }
+    assert(decodeHeader(sof2) == Some(("jpeg", 320, 200)))
+    // non-media and truncated inputs decode to None, never throw
+    assert(decodeHeader("plain text, not media".getBytes("UTF-8")).isEmpty)
+    assert(decodeHeader(Array(0xff, 0xd8).map(_.toByte)).isEmpty) // bare SOI
+    assert(decodeHeader(pngHeader(9, 9).take(20)).isEmpty) // cut inside IHDR
+    assert(decodeHeader(jpegHeader(9, 9).take(21)).isEmpty) // cut before SOF
+    assert(decodeHeader(null).isEmpty)
+  }
+
   test("multimodal: synthesize → decode → resize → frame-sample plumbing") {
     val media = Multimodal.synthesize(docs.limit(30)).cache()
     val meta = Multimodal.decodeMeta(media).collect()
