@@ -151,27 +151,52 @@ object StreamOps {
    *
    * `stateTtl` (e.g. "1 hour") bounds the number of state KEYS, which
    * otherwise grows with the count of distinct buckets for the stream's
-   * lifetime: a bucket idle for the TTL is evicted wholesale (processing-
-   * time timeout), so a near-dup of a doc last seen before the horizon is
-   * missed — the same bounded-state tradeoff ingestDedupStream documents,
-   * with the batch operator as the terminal authority. None (the default)
-   * keeps the exact unbounded-state behavior. Operational note: with a
-   * processing-time timeout Spark schedules CONTINUOUS empty micro-batches
-   * to evaluate expirations (measured: thousands of epochs/minute under
-   * the default trigger) — pair stateTtl with an explicit
-   * Trigger.ProcessingTime interval to pace them.
+   * lifetime: a bucket idle for the TTL is evicted wholesale, so a
+   * near-dup of a doc last seen before the horizon is missed — the same
+   * bounded-state tradeoff ingestDedupStream documents, with the batch
+   * operator as the terminal authority. None (the default) keeps the
+   * exact unbounded-state behavior. TWO eviction clocks:
+   *
+   *  - `tsCol` defined: EVENT-TIME TTL — a bucket is evicted when the
+   *    watermark (tsCol, `lateness`) passes its last arrival + TTL.
+   *    Deterministic (replays identically, testable without wall-clock
+   *    sleeps) — prefer this whenever the stream has an event time.
+   *  - `tsCol` None: processing-time TTL (idle wall-clock). Operational
+   *    note: Spark then schedules CONTINUOUS empty micro-batches to
+   *    evaluate expirations (measured: thousands of epochs/minute under
+   *    the default trigger) — pair with an explicit
+   *    Trigger.ProcessingTime interval to pace them.
    */
   final case class DocSig(id: Long, sig: Seq[Long])
   final case class BucketState(docs: Seq[DocSig])
   final case class StreamPair(id_a: Long, id_b: Long, est_jaccard: Double)
 
+  /** "N second(s)|minute(s)|hour(s)|day(s)" → milliseconds. */
+  private[streaming] def durationMs(s: String): Long = {
+    val p = """(\d+)\s*(millisecond|second|minute|hour|day)s?""".r
+    s.trim.toLowerCase match {
+      case p(n, u) => n.toLong * (u match {
+        case "millisecond" => 1L
+        case "second" => 1000L
+        case "minute" => 60000L
+        case "hour" => 3600000L
+        case "day" => 86400000L
+      })
+      case _ => throw new IllegalArgumentException(s"cannot parse duration '$s'")
+    }
+  }
+
   def minhashPairsStream(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                          k: Int = 3, numPerms: Int = 64, bands: Int = 16,
                          threshold: Double = 0.5, maxBucket: Int = 64,
-                         stateTtl: Option[String] = None): Dataset[StreamPair] = {
+                         stateTtl: Option[String] = None,
+                         tsCol: Option[String] = None,
+                         lateness: String = "10 minutes"): Dataset[StreamPair] = {
     import docs.sparkSession.implicits._
     implicit val stateEnc = Encoders.product[BucketState]
     implicit val outEnc = Encoders.product[StreamPair]
+    val eventTime = stateTtl.isDefined && tsCol.isDefined
+    val ttlMs = stateTtl.map(durationMs)
     val sigUdf = udf { (text: String) =>
       graft.textkit.TextKit.minhash(
         graft.textkit.TextKit.shingleHashes(Option(text).getOrElse(""), k), numPerms)
@@ -180,15 +205,19 @@ object StreamOps {
       graft.textkit.TextKit.lshBands(sig.toArray, bands).zipWithIndex
         .map { case (h, i) => (i, h) }
     }
-    docs
-      .select(col(idCol).as("id"), sigUdf(col(textCol)).as("sig"))
-      .select(col("id"), col("sig"), explode(bandsUdf(col("sig"))).as("b"))
-      .select(col("id"), col("sig"), col("b._1").as("band_idx"), col("b._2").as("band_hash"))
-      .as[(Long, Seq[Long], Int, Long)]
-      .groupByKey { case (_, _, bandIdx, bandHash) => (bandIdx, bandHash) }
+    val ts = tsCol.map(c => col(c).cast("timestamp")).getOrElse(lit(0L).cast("timestamp"))
+    val base0 = docs.select(col(idCol).as("id"), col(textCol).as("t"), ts.as("ts"))
+    val base = if (eventTime) base0.withWatermark("ts", lateness) else base0
+    base
+      .select(col("id"), sigUdf(col("t")).as("sig"), col("ts"))
+      .select(col("id"), col("sig"), explode(bandsUdf(col("sig"))).as("b"), col("ts"))
+      .select(col("id"), col("sig"), col("b._1").as("band_idx"), col("b._2").as("band_hash"), col("ts"))
+      .as[(Long, Seq[Long], Int, Long, java.sql.Timestamp)]
+      .groupByKey { case (_, _, bandIdx, bandHash, _) => (bandIdx, bandHash) }
       .flatMapGroupsWithState[BucketState, StreamPair](
         OutputMode.Append(),
-        if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+        if (eventTime) GroupStateTimeout.EventTimeTimeout()
+        else if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
         else GroupStateTimeout.NoTimeout()) {
         case (_, rows, state: GroupState[BucketState]) =>
           if (state.hasTimedOut) {
@@ -197,7 +226,9 @@ object StreamOps {
           } else {
             var members = state.getOption.map(_.docs).getOrElse(Seq.empty)
             val out = Vector.newBuilder[StreamPair]
-            rows.foreach { case (id, sig, _, _) =>
+            var maxTsMs = Long.MinValue
+            rows.foreach { case (id, sig, _, _, t) =>
+              if (t != null && t.getTime > maxTsMs) maxTsMs = t.getTime
               if (!members.exists(_.id == id)) {
                 members.foreach { m =>
                   val est = graft.textkit.TextKit.minhashSimilarity(m.sig.toArray, sig.toArray)
@@ -208,7 +239,18 @@ object StreamOps {
               }
             }
             state.update(BucketState(members))
-            stateTtl.foreach(state.setTimeoutDuration)
+            if (eventTime) {
+              // evict when the watermark passes last-arrival + TTL; a
+              // deadline the watermark already passed means the bucket is
+              // born-expired — drop it now (setTimeoutTimestamp would throw).
+              // All-null timestamps (maxTsMs unset) keep the previous
+              // deadline, if any.
+              if (maxTsMs != Long.MinValue) {
+                val deadline = maxTsMs + ttlMs.get
+                if (deadline > state.getCurrentWatermarkMs()) state.setTimeoutTimestamp(deadline)
+                else state.remove()
+              }
+            } else stateTtl.foreach(state.setTimeoutDuration)
             out.result().iterator
           }
       }

@@ -272,6 +272,43 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("minhashPairsStream: event-time stateTtl evicts idle buckets deterministically") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // event-time eviction is watermark-driven, so the test needs NO
+    // wall-clock sleeps and replays identically (the processing-time TTL
+    // variant is untestable without them — the round-4 flake lesson)
+    val dup = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+    val fillerA = "completely unrelated filler text about catalyst optimizer internals"
+    val fillerB = "another unrelated filler document mentioning shuffle partitions only"
+    def run(ttl: Option[String], name: String): Set[(Long, Long)] = {
+      val input = MemoryStream[(Long, Timestamp, String)]
+      val q = StreamOps.minhashPairsStream(input.toDF().toDF("doc_id", "ts", "text"),
+          threshold = 0.5, stateTtl = ttl, tsCol = Some("ts"), lateness = "0 seconds")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        input.addData((0L, ts(0), dup)) // first copy at t = 0 min
+        q.processAllAvailable()
+        // advance the watermark far past t=0 + TTL (1 hour). Two batches:
+        // the watermark updates at batch END, and expirations fire in the
+        // batch AFTER it advances
+        input.addData((10L, ts(120), fillerA))
+        q.processAllAvailable()
+        input.addData((11L, ts(130), fillerB))
+        q.processAllAvailable()
+        input.addData((1L, ts(140), dup)) // duplicate arrives past the horizon
+        q.processAllAvailable()
+        spark.table(name).select("id_a", "id_b").distinct()
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      } finally q.stop()
+    }
+    // without a TTL the carried bucket state pairs (0, 1) across 3 batches
+    assert(run(None, "mh_nottl_out") == Set((0L, 1L)))
+    // with a 1-hour event-time TTL, doc 0's buckets were evicted when the
+    // watermark passed t = 60 min — the later duplicate pairs with NOTHING
+    assert(run(Some("1 hour"), "mh_ttl_out") == Set.empty[(Long, Long)])
+  }
+
   test("asofJoinStream: cross-batch as-of matches equal the batch operator exactly") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
