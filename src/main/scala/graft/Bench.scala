@@ -17,6 +17,15 @@ import graft.sources.PagesGen
  */
 object Bench {
 
+  /** The dedup/IVF operators localCheckpoint-then-unpersist by design
+    * (eager, bounded intermediates); Spark WARNs "lineage has been
+    * truncated" on every such unpersist, flooding the recorded
+    * bench/verify artifact tails with hundreds of identical lines.
+    * Driver-main-only suppression — library users keep the warning. */
+  def quietCheckpointWarns(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
+
   def buildSession(cpus: Int, app: String): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -31,6 +40,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // AFTER setLogLevel: that call sets ALL logger configs to WARN,
+    // clobbering any earlier per-logger override
+    quietCheckpointWarns()
     s
   }
 
@@ -156,6 +168,23 @@ object Bench {
       results(name) = median(times)
     }
 
+    // the PRUNED IVF operating point (nprobe = 12 of nlist = 32 — the scan
+    // fraction a production re-query pays). The gate query ann_topk_ivf
+    // runs the nprobe = nlist exactness mode for its oracle, so the pruned
+    // point is timed here directly; the fit is the untimed build step.
+    {
+      import org.apache.spark.sql.functions.col
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val idx = graft.operators.Similarity.ivfFit(emb, nlist = 32)
+      try {
+        val t0 = System.nanoTime()
+        try graft.operators.Similarity.ivfQuery(idx, emb.filter(col("vec_id") < 10), 10, nprobe = 12)
+          .write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] ann_topk_ivf_pruned failed: $e") }
+        results("ann_topk_ivf_pruned") = (System.nanoTime() - t0) / 1e9
+      } finally idx.close()
+    }
+
     // the exact-similarity-join regime comparison the adaptive dispatcher
     // encodes: on a boilerplate-heavy corpus (every doc shares a 32-word
     // header, so those grams have df = n) the naive inverted-index join
@@ -193,7 +222,16 @@ object Bench {
     // number of record is now noise-proof and the samples stay visible.
     val crawlSpark = buildSession(crawlCpus, "graft-bench-crawl")
     val pagesDir = generatePages(crawlSpark, crawlN, hosts, crawlCpus * 2)
-    val cbs = (1 to crawlReps).map(_ => crawlBench(crawlSpark, pagesDir, crawlN, hosts))
+    val cbs0 = (1 to crawlReps).map(_ => crawlBench(crawlSpark, pagesDir, crawlN, hosts))
+    // disagreement guard (round-4 lesson: samples 166/187/68 s recorded a
+    // loaded-VM phase as the median of record): if the samples spread more
+    // than 2x, the session is noisy — take 2 more and report the median of 5
+    val cbs =
+      if (crawlReps > 1 && cbs0.map(_.seconds).max > 2.0 * cbs0.map(_.seconds).min) {
+        System.err.println(s"[bench] crawl samples spread >2x " +
+          s"(${cbs0.map(c => f"${c.seconds}%.1f").mkString("/")}) — extending to median of ${crawlReps + 2}")
+        cbs0 ++ (1 to 2).map(_ => crawlBench(crawlSpark, pagesDir, crawlN, hosts))
+      } else cbs0
     val cb = cbs.sortBy(_.seconds).apply(cbs.size / 2)
     samples("crawl_frontier") = cbs.map(_.seconds)
     results("crawl_frontier") = cb.seconds

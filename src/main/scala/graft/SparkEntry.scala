@@ -1245,6 +1245,21 @@ object SparkEntry {
           col("width"), col("height"), col("n_bytes"))
         .orderBy("doc_id")),
 
+    // REAL container formats: PNG IHDR + JPEG SOF header decode over
+    // crafted real-format byte prefixes (plus the GRFT fake and a garbage
+    // row) — the oracle pins the expected parse per the published specs
+    "multimodal_real_meta" -> ((s, _) => {
+      import s.implicits._
+      Multimodal.decodeMeta(Seq(
+        (1L, Multimodal.pngHeader(640, 480)),
+        (2L, Multimodal.jpegHeader(123, 77)),
+        (3L, Multimodal.encodeFake("aud", 2, 44100, Array[Byte](1, 2, 3))),
+        (4L, "not a media file".getBytes("UTF-8"))).toDF("id", "media"))
+        .select(col("id").as("doc_id"), col("format").as("media_format"),
+          col("width"), col("height"), col("ok"))
+        .orderBy("doc_id")
+    }),
+
     // ---- crawl engine (fixture pages table; VALUES oracles) ----
     "crawl_result" -> ((s, _) =>
       crawlRun(s, CT).resultFor(CT)
@@ -1276,6 +1291,18 @@ object SparkEntry {
     "crawl_robots_gate" -> ((s, _) => {
       val seed = s"${PagesGen.host("robots-excluded")}/start"
       crawlRun(s, seed).resultFor(seed).select("url", "result_type").orderBy("url")
+    }),
+    // latest-snapshot fetch over a MULTI-CAPTURE pages table (several
+    // warc_ts rows per url — the input contract's Common-Crawl shape):
+    // the crawl must serve /start's NEWER capture, so it discovers /new
+    // and never /old-only. Stale-capture resolution would emit an
+    // /old-only row instead — the VALUES oracle catches either failure.
+    "crawl_snapshot" -> ((s, _) => {
+      val seed = s"${PagesGen.host("multi-snapshot")}/start"
+      val run = new CrawlEngine(s, PagesGen.multiSnapshotFixtures(s)).crawl(seed)
+      run.resultFor(seed)
+        .select(col("url"), col("result_type"), size(col("internal_links")).as("n_internal"))
+        .orderBy("url")
     }),
     "crawl_redirects" -> ((s, _) => {
       val seeds = Seq(s"${PagesGen.host("redirect-target")}/redirect",
@@ -1395,6 +1422,15 @@ object SparkEntry {
         |       CAST(64 + (doc_id // 3) % 512 AS INTEGER) AS height,
         |       CAST(16 + strlen(text) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // hand-pinned per PNG spec §5.6 (IHDR u32 dims) / ITU T.81 §B.2.2
+    // (SOF0 u16 dims) — NOT computed by the decoder under test
+    "multimodal_real_meta" ->
+      """SELECT * FROM (VALUES
+        | (CAST(1 AS BIGINT), 'png', 640, 480, true),
+        | (CAST(2 AS BIGINT), 'jpeg', 123, 77, true),
+        | (CAST(3 AS BIGINT), 'aud', 2, 44100, true),
+        | (CAST(4 AS BIGINT), 'unknown', 0, 0, false)
+        |) AS t(doc_id, media_format, width, height, ok) ORDER BY doc_id""".stripMargin,
     // ---- crawl fixtures: hand-derived golden VALUES (integration.rs etc.)
     "crawl_result" -> ctResultValuesSql,
     "crawl_links" -> ctLinksValuesSql,
@@ -1407,6 +1443,7 @@ object SparkEntry {
         | (2, CAST(5 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(6 AS BIGINT), CAST(0 AS BIGINT))
         |) AS t(round, fetched, discovered, deduped, robots_denied, deferred, done, todo) ORDER BY round""".stripMargin,
     "crawl_robots_gate" -> robotsGateValuesSql,
+    "crawl_snapshot" -> snapshotValuesSql,
     "crawl_redirects" -> redirectsValuesSql,
     "url_canonicalize" -> urlCanonValuesSql,
     "http_classify" -> httpClassifyValuesSql,
@@ -1457,6 +1494,12 @@ object SparkEntry {
   private lazy val robotsGateValuesSql = {
     val h = PagesGen.host("robots-excluded")
     s"SELECT * FROM (VALUES (${vs(s"$h/disallowed")}, 'ExcludedByRobotsTxt'), (${vs(s"$h/start")}, 'Crawled')) AS t(url, result_type) ORDER BY url"
+  }
+
+  private lazy val snapshotValuesSql = {
+    val h = PagesGen.host("multi-snapshot")
+    s"SELECT * FROM (VALUES (${vs(s"$h/new")}, 'Crawled', 0), (${vs(s"$h/start")}, 'Crawled', 1)) " +
+      "AS t(url, result_type, n_internal) ORDER BY url"
   }
 
   private lazy val redirectsValuesSql = {

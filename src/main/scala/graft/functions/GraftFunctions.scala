@@ -81,14 +81,25 @@ object GraftFunctions {
       case _                  => None
     })
 
+  // names THIS module registered, per session — so the skip-if-exists guard
+  // can tell its own earlier registration (silent, expected) from a foreign
+  // function squatting on the name (warned: it will shadow ours until the
+  // session ends, and re-calling registerAll cannot repair it)
+  private val registeredBy = java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+
   def registerAll(spark: SparkSession): Unit = {
     // idempotent PER FUNCTION: a re-register WARNs ("replaced a previously
     // registered function") on every call, but a single-sentinel guard
     // would silently skip the other ten if any one name already exists
+    val sess = System.identityHashCode(spark).toString
     def reg(name: String, f: UserDefinedFunction): Unit =
       if (!spark.sessionState.functionRegistry.functionExists(
-          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name))) {
         spark.udf.register(name, f)
+        registeredBy.add((sess, name))
+      } else if (!registeredBy.contains((sess, name)))
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"registerAll: '$name' is already registered by something else in this session; keeping the existing function")
     reg("url_canonicalize", url_canonicalize)
     reg("url_join", url_join)
     reg("url_domain", url_domain)

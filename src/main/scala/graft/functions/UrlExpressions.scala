@@ -127,14 +127,23 @@ object UrlExpressions {
     * companion is private to Spark in 4.x, so SQL registration is the
     * public bridge). Skips names already registered — PER FUNCTION, so a
     * foreign registration of one name cannot silently suppress the rest
-    * (re-registration WARNs on every call — log noise otherwise). */
+    * (re-registration WARNs on every call — log noise otherwise); a skip
+    * of a name this module did NOT register itself is warned, since the
+    * foreign function shadows ours for the session. */
+  private val registeredBy = java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+
   def registerAll(spark: SparkSession): Unit = {
+    val sess = System.identityHashCode(spark).toString
     def reg(name: String,
             builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
               org.apache.spark.sql.catalyst.expressions.Expression): Unit =
       if (!spark.sessionState.functionRegistry.functionExists(
-          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name))) {
         spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
+        registeredBy.add((sess, name))
+      } else if (!registeredBy.contains((sess, name)))
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"registerAll: '$name' is already registered by something else in this session; keeping the existing function")
     reg("url_strip_fragment_native", exprs => UrlStripFragment(exprs.head))
     reg("url_domain_native", exprs => UrlDomain(exprs.head))
     reg("url_host_port_native", exprs => UrlHostPort(exprs.head))
