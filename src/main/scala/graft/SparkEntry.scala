@@ -64,12 +64,18 @@ object SparkEntry {
   private def view(s: SparkSession, dir: String, names: String*): Unit =
     names.foreach(n => s.read.parquet(s"$dir/$n.parquet").createOrReplaceTempView(n))
 
-  // portable SQL (identical text runs on Spark and DuckDB)
+  // portable SQL (identical text runs on Spark and DuckDB).
+  // Gate-output hardening (round-5 margin audit): the pre-round sums sat
+  // only ~1e-4 from a round(x,2) half-boundary while cross-engine
+  // summation-order drift is ~1e-5 — so the gate emits SUMS OF PER-ROW
+  // floor-scaled longs instead: each row's double arithmetic is
+  // bit-identical in both engines, floor has no implementation variance
+  // (unlike round), and the integer sum is order-free and exact.
   private val q1Sql =
     """SELECT l_returnflag, l_linestatus,
-      |       round(sum(l_quantity), 2) AS sum_qty,
-      |       round(sum(l_extendedprice), 2) AS sum_base_price,
-      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |       sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS sum_qty_scaled,
+      |       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_base_price_scaled,
+      |       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS sum_disc_price_scaled,
       |       count(*) AS count_order
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus
@@ -166,8 +172,7 @@ object SparkEntry {
 
   private val embeddingNearDupSql =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      |       round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b
       |FROM e a JOIN e b ON a.vec_id < b.vec_id
       |WHERE list_cosine_similarity(a.v, b.v) >= 0.44
       |ORDER BY id_a, id_b""".stripMargin
@@ -429,7 +434,8 @@ object SparkEntry {
 
   private val qualitySql =
     s"""WITH ${qualityScoreCtes("documents")}
-       |SELECT doc_id, n_chars, n_tokens, round(score, 4) AS quality_score
+       |SELECT doc_id, n_chars, n_tokens,
+       |       CAST(floor(score * 10000 + 0.5) AS BIGINT) AS quality_score_scaled
        |FROM qs ORDER BY doc_id""".stripMargin
 
   private val langIdSql = {
@@ -496,8 +502,10 @@ object SparkEntry {
        |            + 0.2*(CASE WHEN CAST(n_nonws AS DOUBLE)/n_tokens >= 3
        |                         AND CAST(n_nonws AS DOUBLE)/n_tokens <= 10 THEN 1.0 ELSE 0.5 END))) END AS score
        |      FROM q)
-       |SELECT url, n_tokens, round(score, 4) AS quality_score, is_exact_canonical,
-       |       (is_exact_canonical AND round(score, 4) >= 0.7) AS kept
+       |SELECT url, n_tokens,
+       |       CAST(floor(score * 10000 + 0.5) AS BIGINT) AS quality_score_scaled,
+       |       is_exact_canonical,
+       |       (is_exact_canonical AND floor(score * 10000 + 0.5) >= 7000) AS kept
        |FROM sc ORDER BY url""".stripMargin
   }
 
@@ -512,7 +520,7 @@ object SparkEntry {
    */
   private val pipelineDocsE2eSql =
     s"""WITH RECURSIVE ${qualityScoreCtes("documents")},
-       |kept AS (SELECT doc_id, text, n_tokens, score FROM qs WHERE round(score, 4) >= 0.76),
+       |kept AS (SELECT doc_id, text, n_tokens, score FROM qs WHERE floor(score * 10000 + 0.5) >= 7600),
        |surv AS (SELECT * FROM kept WHERE doc_id IN (
        |    SELECT min(doc_id) FROM kept GROUP BY md5(text))),
        |toks AS (SELECT doc_id, CASE WHEN trim(text)='' THEN [] ELSE string_split_regex(trim(text),'\\s+') END AS tk FROM surv),
@@ -539,7 +547,8 @@ object SparkEntry {
        |  UNION
        |  SELECT e.d, w.lab FROM walk w JOIN edges e ON e.s = w.id),
        |cc AS (SELECT id, min(lab) AS cluster_id FROM walk GROUP BY id)
-       |SELECT s.doc_id, s.n_tokens, round(s.score, 4) AS quality_score
+       |SELECT s.doc_id, s.n_tokens,
+       |       CAST(floor(s.score * 10000 + 0.5) AS BIGINT) AS quality_score_scaled
        |FROM surv s LEFT JOIN cc ON cc.id = s.doc_id
        |WHERE cc.id IS NULL OR cc.cluster_id = s.doc_id
        |ORDER BY s.doc_id""".stripMargin
@@ -588,7 +597,7 @@ object SparkEntry {
    */
   private val pipelineCorpusE2eSql =
     s"""WITH ${qualityScoreCtes("documents")},
-       |keptq AS (SELECT doc_id, text FROM qs WHERE round(score, 4) >= 0.76),
+       |keptq AS (SELECT doc_id, text FROM qs WHERE floor(score * 10000 + 0.5) >= 7600),
        |surv AS (SELECT * FROM keptq WHERE doc_id IN (
        |    SELECT min(doc_id) FROM keptq GROUP BY md5(text))),
        |${substringChainCtes("surv")},
@@ -735,7 +744,7 @@ object SparkEntry {
        |       count(*) AS n_docs,
        |       sum(q.n_tokens) AS total_tokens,
        |       g.grand_docs,
-       |       sum(CAST(floor(q.quality_score * 10000 + 0.5) AS BIGINT)) AS q_scaled
+       |       sum(q.quality_score_scaled) AS q_scaled
        |FROM ($langIdSql) l JOIN ($qualitySql) q USING (doc_id)
        |CROSS JOIN (SELECT count(*) AS grand_docs FROM documents) g
        |GROUP BY l.lang_pred, g.grand_docs ORDER BY l.lang_pred""".stripMargin
@@ -845,7 +854,7 @@ object SparkEntry {
        |       count(*) AS n_docs,
        |       sum(q.n_tokens) AS total_tokens,
        |       g.grand_docs,
-       |       sum(CAST(floor(q.quality_score * 10000 + 0.5) AS BIGINT)) AS q_scaled
+       |       sum(q.quality_score_scaled) AS q_scaled
        |FROM surv
        |JOIN sp USING (doc_id)
        |JOIN ($langIdSql) l USING (doc_id)
@@ -1030,9 +1039,10 @@ object SparkEntry {
         .select(col("url"), col("n_tokens"), col("quality_score"))
       dd.join(q, Seq("url"))
         .select(col("url"), col("n_tokens"),
-          round(col("quality_score"), 4).as("quality_score"),
+          floor(col("quality_score") * 10000 + 0.5).cast("long").as("quality_score_scaled"),
           col("is_exact_canonical"),
-          (col("is_exact_canonical") && round(col("quality_score"), 4) >= 0.7).as("kept"))
+          (col("is_exact_canonical") &&
+            floor(col("quality_score") * 10000 + 0.5) >= 7000).as("kept"))
         .orderBy("url")
     }),
     // documents → quality filter → exact dedup → near-dup CC → survivors
@@ -1040,7 +1050,7 @@ object SparkEntry {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val kept = docs.join(
         TextAnalysis.quality(docs)
-          .filter(round(col("quality_score"), 4) >= 0.76)
+          .filter(floor(col("quality_score") * 10000 + 0.5) >= 7600)
           .select(col("doc_id"), col("n_tokens"), col("quality_score")),
         Seq("doc_id"))
       val surv = kept.join(Dedup.exactSurvivors(kept).select("doc_id"), Seq("doc_id"))
@@ -1048,7 +1058,8 @@ object SparkEntry {
       val nonCanonical = Dedup.nearDupClusters(pairs)
         .filter(!col("is_canonical")).select(col("id").as("doc_id"))
       surv.join(nonCanonical, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("n_tokens"), round(col("quality_score"), 4).as("quality_score"))
+        .select(col("doc_id"), col("n_tokens"),
+          floor(col("quality_score") * 10000 + 0.5).cast("long").as("quality_score_scaled"))
         .orderBy("doc_id")
     }),
     // ExactSubstr-style dedup (Lee et al. 2021): maximal duplicated
@@ -1069,7 +1080,7 @@ object SparkEntry {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val kept = docs.join(
         TextAnalysis.quality(docs)
-          .filter(round(col("quality_score"), 4) >= 0.76).select("doc_id"),
+          .filter(floor(col("quality_score") * 10000 + 0.5) >= 7600).select("doc_id"),
         Seq("doc_id"))
       val surv = kept.join(Dedup.exactSurvivors(kept).select("doc_id"), Seq("doc_id"))
       Dedup.stripDuplicatedSpans(surv, minLen = 10).orderBy("doc_id")
@@ -1090,8 +1101,12 @@ object SparkEntry {
     // exact all-pairs cosine (verification baseline, DuckDB-oracle-checked;
     // threshold 0.44 yields 22/211 pairs at sf0.01/sf0.1 — falsifiable)
     "dedup_embedding_neardup" -> ((s, dir) =>
+      // gate shape: the PAIR SET only — the 0.44 threshold has ≥1e-4 of
+      // margin at both SFs, but a rounded cosine VALUE sat 2.4e-9 from a
+      // round(.,4) half-boundary at sf0.1 (round-5 margin audit) — one
+      // engine-version ulp away from a hash flip
       Dedup.embeddingNearDupExact(s.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.44)
-        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+        .select(col("id_a"), col("id_b"))
         .orderBy("id_a", "id_b")),
 
     // ---- similarity search ----
@@ -1193,10 +1208,13 @@ object SparkEntry {
         .orderBy("doc_id")),
     "text_lang_id" -> ((s, dir) =>
       TextAnalysis.langId(s.read.parquet(s"$dir/documents.parquet")).orderBy("doc_id")),
+    // gate shape: floor-scaled long (a raw score sits EXACTLY on a
+    // round(.,4) half-boundary at sf0.1 — round()'s implementation varies
+    // across engine versions; floor of the bit-identical double does not)
     "text_quality" -> ((s, dir) =>
       TextAnalysis.quality(s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), col("n_chars"), col("n_tokens"),
-          round(col("quality_score"), 4).as("quality_score"))
+          floor(col("quality_score") * 10000 + 0.5).cast("long").as("quality_score_scaled"))
         .orderBy("doc_id")),
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(s.read.parquet(s"$dir/documents.parquet")).orderBy("doc_id")),

@@ -90,7 +90,13 @@ object TextAnalysis {
     val grouped = base.groupBy((extraKeys :+ "lang_pred").map(col): _*)
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").as("total_tokens"),
-        sum(round(round(col("quality_score"), 4) * 10000).cast("long")).as("q_scaled"))
+        // floor(x·10^4 + 0.5) ≡ half-up round for the non-negative scores,
+        // in plain double arithmetic — the SAME expression the DuckDB
+        // oracle evaluates on bit-identical per-row doubles. (Spark's
+        // round() goes through BigDecimal decimal-expansion semantics,
+        // which can differ by one ulp-step from double multiply-and-floor
+        // on knife-edge scores — the two engines must use ONE definition.)
+        sum(floor(col("quality_score") * 10000 + lit(0.5)).cast("long")).as("q_scaled"))
       .persist()
     val total = grouped.agg(sum("n_docs").as("grand_docs"))
     grouped.crossJoin(broadcast(total))
