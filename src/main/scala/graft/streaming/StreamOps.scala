@@ -377,30 +377,40 @@ object StreamOps {
    * production keying is the batch operator's 128-bit hash — identical
    * state shape at ~24 bytes per distinct window. `stateTtl` (e.g.
    * "1 hour") bounds the key space: a window not seen again within the
-   * TTL is evicted (processing-time timeout), so only duplicates whose
-   * occurrences fall within the horizon are caught — bounded-state mode
-   * for open-ended streams; None keeps the exact default.
+   * TTL is evicted, so only duplicates whose occurrences fall within the
+   * horizon are caught — bounded-state mode for open-ended streams; None
+   * keeps the exact default. Same two eviction clocks as
+   * `minhashPairsStream`: with `tsCol` the TTL rides the event-time
+   * watermark (deterministic, replayable); without it, processing time.
    */
   def substringDupWindowsStream(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                                 minLen: Int = 10,
-                                stateTtl: Option[String] = None): Dataset[DupWindow] = {
+                                stateTtl: Option[String] = None,
+                                tsCol: Option[String] = None,
+                                lateness: String = "10 minutes"): Dataset[DupWindow] = {
     require(minLen >= 2, "minLen must be >= 2")
     import docs.sparkSession.implicits._
     implicit val stateEnc = Encoders.product[WinSeen]
     implicit val outEnc = Encoders.product[DupWindow]
+    val eventTime = stateTtl.isDefined && tsCol.isDefined
+    val ttlMs = stateTtl.map(durationMs)
     val winsUdf = udf { (text: String) =>
       val tk = graft.textkit.TextKit.wsTokens(Option(text).getOrElse(""))
       if (tk.length < minLen) Array.empty[String]
       else Array.tabulate(tk.length - minLen + 1)(i => tk.slice(i, i + minLen).mkString(" "))
     }
-    docs
-      .select(col(idCol).as("id"), posexplode(winsUdf(col(textCol))))
-      .toDF("id", "pos", "win")
-      .as[(Long, Int, String)]
+    val ts = tsCol.map(c => col(c).cast("timestamp")).getOrElse(lit(0L).cast("timestamp"))
+    val base0 = docs.select(col(idCol).as("id"), col(textCol).as("t"), ts.as("ts"))
+    val base = if (eventTime) base0.withWatermark("ts", lateness) else base0
+    base
+      .select(col("id"), posexplode(winsUdf(col("t"))), col("ts"))
+      .toDF("id", "pos", "win", "ts")
+      .as[(Long, Int, String, java.sql.Timestamp)]
       .groupByKey(_._3)
       .flatMapGroupsWithState[WinSeen, DupWindow](
         OutputMode.Append(),
-        if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+        if (eventTime) GroupStateTimeout.EventTimeTimeout()
+        else if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
         else GroupStateTimeout.NoTimeout()) {
         case (_, rows, state: GroupState[WinSeen]) =>
           if (state.hasTimedOut) {
@@ -409,7 +419,9 @@ object StreamOps {
           } else {
             val out = Vector.newBuilder[DupWindow]
             var st = state.getOption
-            rows.foreach { case (id, pos, _) =>
+            var maxTsMs = Long.MinValue
+            rows.foreach { case (id, pos, _, t) =>
+              if (t != null && t.getTime > maxTsMs) maxTsMs = t.getTime
               st match {
                 case None => st = Some(WinSeen(id, pos, emitted = false))
                 case Some(s) =>
@@ -425,7 +437,15 @@ object StreamOps {
               }
             }
             st.foreach(state.update)
-            stateTtl.foreach(state.setTimeoutDuration)
+            if (eventTime) {
+              // same born-expired guard as minhashPairsStream: a deadline
+              // the watermark already passed must drop, not throw
+              if (maxTsMs != Long.MinValue) {
+                val deadline = maxTsMs + ttlMs.get
+                if (deadline > state.getCurrentWatermarkMs()) state.setTimeoutTimestamp(deadline)
+                else state.remove()
+              }
+            } else stateTtl.foreach(state.setTimeoutDuration)
             out.result().iterator
           }
       }

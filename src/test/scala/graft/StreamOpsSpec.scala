@@ -309,6 +309,37 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(run(Some("1 hour"), "mh_ttl_out") == Set.empty[(Long, Long)])
   }
 
+  test("substringDupWindowsStream: event-time stateTtl evicts idle windows deterministically") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dup = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val fillerA = "one two three four five six seven eight nine ten eleven"
+    val fillerB = "red orange yellow green blue indigo violet cyan magenta black white"
+    def run(ttl: Option[String], name: String): Set[(Long, Int)] = {
+      val input = MemoryStream[(Long, Timestamp, String)]
+      val q = StreamOps.substringDupWindowsStream(input.toDF().toDF("doc_id", "ts", "text"),
+          minLen = 10, stateTtl = ttl, tsCol = Some("ts"), lateness = "0 seconds")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        input.addData((0L, ts(0), dup))
+        q.processAllAvailable()
+        input.addData((10L, ts(120), fillerA))
+        q.processAllAvailable()
+        input.addData((11L, ts(130), fillerB))
+        q.processAllAvailable()
+        input.addData((1L, ts(140), dup)) // duplicate past the 1-hour horizon
+        q.processAllAvailable()
+        spark.table(name).select("doc_id", "pos").distinct()
+          .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      } finally q.stop()
+    }
+    // without a TTL the stored first occurrence pairs retroactively
+    assert(run(None, "sw_nottl_out") == Set((0L, 0), (1L, 0)))
+    // with a 1-hour event-time TTL doc 0's window state was evicted before
+    // the duplicate arrived — nothing is detected
+    assert(run(Some("1 hour"), "sw_ttl_out") == Set.empty[(Long, Int)])
+  }
+
   test("asofJoinStream: cross-batch as-of matches equal the batch operator exactly") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
