@@ -77,6 +77,57 @@ object ScalingBench {
         s""""processed":${r.processed},"urls_per_sec":${f"$tp%.1f"},"rounds":${r.rounds},""" +
         s""""fetched":${r.fetched},"deduped":${r.deduped},"robots_denied":${r.robotsDenied}}""")
 
+    case "snapshot" :: cpusStr :: nStr :: Nil =>
+      // Multi-capture latest-snapshot fetch at scale: the scale pages table
+      // DOUBLED with a stale capture per url (1 day older, a link-free
+      // body). Latest-resolve must serve the real capture for EVERY url —
+      // any url where the stale capture won would cut its links out of the
+      // frontier and change the counters — so crawl counters over the
+      // doubled table must equal the single-capture crawl's exactly.
+      // Reports both throughputs (the price of the max_by aggregation).
+      val cpus = cpusStr.toInt
+      val n = nStr.toLong
+      val s = Bench.buildSession(cpus, s"graft-snapshot-$cpus")
+      import org.apache.spark.sql.functions.{expr, lit}
+      val multiDir = s"/tmp/graft_scaling_pages_multi_$n"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(multiDir))) {
+        val base = s.read.parquet(pagesDir(n))
+        val staleHtml = graft.sources.PagesGen.okHtml(
+          graft.sources.PagesGen.htmlWithLinks(Seq.empty))
+        val stale = base
+          .withColumn("warc_ts", expr("warc_ts - INTERVAL 1 DAY"))
+          .withColumn("html", lit(staleHtml))
+          .withColumn("text", lit(graft.httpkit.HttpKit.parseResponse(staleHtml)
+            .map(r => graft.htmlkit.HtmlKit.extractText(r.bodyString)).getOrElse("")))
+        base.unionByName(stale).write.mode("overwrite").parquet(multiDir)
+      }
+      Bench.crawlBench(s, warmDir, warmN, hosts) // warm JIT untimed
+      val single = Bench.crawlBench(s, pagesDir(n), n, hosts)
+      val spec = graft.sources.PagesGen.ScaleSpec(n, hosts)
+      val cfg = graft.operators.CrawlConfig(bloomMinSeen = 50000,
+        bloomExpectedInsertions = math.max(4L * 1000 * 1000, n + n / 5))
+      val mt0 = System.nanoTime()
+      val mrun = new graft.operators.CrawlEngine(s, s.read.parquet(multiDir), cfg)
+        .crawlAll(spec.seeds)
+      val msec = (System.nanoTime() - mt0) / 1e9
+      val mFetched = mrun.rounds.map(_.fetched).sum
+      val mDeduped = mrun.rounds.map(_.deduped).sum
+      val mDenied = mrun.rounds.map(_.robotsDenied).sum
+      s.stop()
+      val exact = mFetched == single.fetched && mDeduped == single.deduped &&
+        mDenied == single.robotsDenied && mrun.rounds.size == single.rounds
+      println(
+        s"""{"metric":"snapshot_crawl","cpus":$cpus,"n":$n,""" +
+        s""""single_sec":${f"${single.seconds}%.2f"},"multi_sec":${f"$msec%.2f"},""" +
+        s""""single_urls_per_sec":${f"${single.processed / single.seconds}%.1f"},""" +
+        s""""multi_urls_per_sec":${f"${(mFetched + mDenied + mDeduped) / msec}%.1f"},""" +
+        s""""fetched":$mFetched,"counters_exact":$exact}""")
+      if (!exact) {
+        System.err.println(s"[snapshot] MISMATCH single=$single " +
+          s"multi=(fetched=$mFetched,deduped=$mDeduped,denied=$mDenied,rounds=${mrun.rounds.size})")
+        sys.exit(3)
+      }
+
     case "kernel" :: cpusStr :: nStr :: Nil =>
       // Isolated Spark kernel: parquet scan → classify → tokenize+extract
       // (the crawl's CPU-heavy stage) with NO checkpoint writes — separates

@@ -93,7 +93,14 @@ final case class CrawlConfig(
       *  - "single": trust the table to be one-row-per-url (skip both the
       *    probe and the aggregation — duplicates, if present, would fan
       *    out the fetch join). */
-    snapshotMode: String = "auto"
+    snapshotMode: String = "auto",
+    /** Crawl "as of" a capture instant (ISO timestamp string, session
+      * zone = UTC): captures with `warc_ts` AFTER this instant are
+      * invisible — the fetch serves the latest capture AT OR BEFORE it,
+      * and a url whose only captures are newer is absent (≙ 404).
+      * Time-travel over a Common-Crawl-style multi-capture table;
+      * requires a warc_ts column. None (default) = the full table. */
+    snapshotAsOf: Option[String] = None
 )
 
 final case class RoundCounters(
@@ -183,6 +190,19 @@ final class CrawlEngine(
 
   private val hasWarcTs = pages.columns.contains("warc_ts")
 
+  require(cfg.snapshotAsOf.isEmpty || hasWarcTs,
+    "snapshotAsOf requires the pages table to carry a warc_ts column")
+
+  /** The pages table at the configured capture horizon. The filter sits
+    * directly on the scan (predicate pushdown; partition-prunes when the
+    * table is partitioned on warc_ts), so every downstream path — the
+    * capture probe, the fetch join, robots lookups — sees one consistent
+    * time-travel view. */
+  private val pagesAt: DataFrame = cfg.snapshotAsOf match {
+    case Some(t) => pages.filter(col("warc_ts") <= to_timestamp(lit(t)))
+    case None    => pages
+  }
+
   /** Does the table hold several captures of some url? Resolved once per
     * engine ("auto": a url-column-pruned count-vs-distinct probe — two
     * cheap scan aggregates, amortized over every round of every crawl). */
@@ -191,7 +211,7 @@ final class CrawlEngine(
     case "latest" => hasWarcTs
     case _ =>
       hasWarcTs && {
-        val r = pages.agg(count(lit(1)).as("n"), countDistinct(col("url")).as("d")).head()
+        val r = pagesAt.agg(count(lit(1)).as("n"), countDistinct(col("url")).as("d")).head()
         r.getLong(0) != r.getLong(1)
       }
   }
@@ -206,10 +226,10 @@ final class CrawlEngine(
   // null warc_ts capture loses to any timestamped one.
   private lazy val pagesSlim: DataFrame =
     if (multiCapture)
-      pages.groupBy("url")
+      pagesAt.groupBy("url")
         .agg(max(struct(col("warc_ts"), col("html"))).as("m"))
         .select(col("url"), col("m.html").as("html"))
-    else pages.select(col("url"), col("html"))
+    else pagesAt.select(col("url"), col("html"))
 
   graft.functions.UrlExpressions.registerAll(spark)
 
@@ -222,8 +242,8 @@ final class CrawlEngine(
   private[graft] def robotsBytesFor(robotsUrls: Seq[String]): Map[String, Array[Byte]] = {
     if (robotsUrls.isEmpty) return Map.empty
     val projected =
-      if (hasWarcTs) pages.select(col("url"), col("html"), col("warc_ts"))
-      else pages.select(col("url"), col("html"), lit(null).cast("timestamp").as("warc_ts"))
+      if (hasWarcTs) pagesAt.select(col("url"), col("html"), col("warc_ts"))
+      else pagesAt.select(col("url"), col("html"), lit(null).cast("timestamp").as("warc_ts"))
     projected
       .filter(col("url").isin(robotsUrls.distinct: _*))
       .collect()

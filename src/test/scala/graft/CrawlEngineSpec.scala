@@ -544,6 +544,30 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(a == 6 && b == 6)
   }
 
+  test("snapshotAsOf: time-travel crawl serves the capture at-or-before the instant") {
+    import spark.implicits._
+    val h = PagesGen.host("multi-snapshot")
+    val seed = s"$h/start"
+    val mp = PagesGen.multiSnapshotFixtures(spark)
+    // between the two /start captures (2026-01-01T00:00 and +1 day): the
+    // OLD capture is the latest visible, so the crawl follows /old-only
+    // and never discovers /new
+    val urls = new CrawlEngine(spark, mp,
+        CrawlConfig(snapshotAsOf = Some("2026-01-01 12:00:00"))).crawl(seed)
+      .resultFor(seed).select("url").as[String].collect().toSet
+    assert(urls == Set(seed, s"$h/old-only"), s"got $urls")
+    // an as-of before ANY capture: the seed itself is absent ≙ fetch error
+    val r2 = new CrawlEngine(spark, mp,
+        CrawlConfig(snapshotAsOf = Some("2025-12-31 00:00:00"))).crawl(seed)
+      .resultFor(seed).select("url", "result_type").as[(String, String)].collect().toSet
+    assert(r2 == Set((seed, "Error")), s"got $r2")
+    // asOf on a warc_ts-less table is a config error
+    intercept[IllegalArgumentException] {
+      new CrawlEngine(spark, pages.drop("warc_ts"),
+        CrawlConfig(snapshotAsOf = Some("2026-01-01 00:00:00")))
+    }
+  }
+
   test("text column invariant: extract_text(html bytes) == text column, byte-identical") {
     import graft.functions.GraftFunctions
     val mismatches = pages
