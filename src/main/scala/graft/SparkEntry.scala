@@ -1322,6 +1322,16 @@ object SparkEntry {
         .select(col("url"), col("result_type"), size(col("internal_links")).as("n_internal"))
         .orderBy("url")
     }),
+    // time-travel: as-of BETWEEN the two /start captures, the OLD capture
+    // is the latest visible one — the crawl follows /old-only, never /new
+    "crawl_snapshot_asof" -> ((s, _) => {
+      val seed = s"${PagesGen.host("multi-snapshot")}/start"
+      val run = new CrawlEngine(s, PagesGen.multiSnapshotFixtures(s),
+        CrawlConfig(snapshotAsOf = Some("2026-01-01 12:00:00"))).crawl(seed)
+      run.resultFor(seed)
+        .select(col("url"), col("result_type"), size(col("internal_links")).as("n_internal"))
+        .orderBy("url")
+    }),
     "crawl_redirects" -> ((s, _) => {
       val seeds = Seq(s"${PagesGen.host("redirect-target")}/redirect",
         s"${PagesGen.host("external-redirect")}/redirect",
@@ -1462,6 +1472,7 @@ object SparkEntry {
         |) AS t(round, fetched, discovered, deduped, robots_denied, deferred, done, todo) ORDER BY round""".stripMargin,
     "crawl_robots_gate" -> robotsGateValuesSql,
     "crawl_snapshot" -> snapshotValuesSql,
+    "crawl_snapshot_asof" -> snapshotAsofValuesSql,
     "crawl_redirects" -> redirectsValuesSql,
     "url_canonicalize" -> urlCanonValuesSql,
     "http_classify" -> httpClassifyValuesSql,
@@ -1517,6 +1528,12 @@ object SparkEntry {
   private lazy val snapshotValuesSql = {
     val h = PagesGen.host("multi-snapshot")
     s"SELECT * FROM (VALUES (${vs(s"$h/new")}, 'Crawled', 0), (${vs(s"$h/start")}, 'Crawled', 1)) " +
+      "AS t(url, result_type, n_internal) ORDER BY url"
+  }
+
+  private lazy val snapshotAsofValuesSql = {
+    val h = PagesGen.host("multi-snapshot")
+    s"SELECT * FROM (VALUES (${vs(s"$h/old-only")}, 'Crawled', 0), (${vs(s"$h/start")}, 'Crawled', 1)) " +
       "AS t(url, result_type, n_internal) ORDER BY url"
   }
 

@@ -39,7 +39,38 @@ def table_hash(cols, rows):
     return hashlib.md5("\n".join(lines).encode()).hexdigest()
 
 
+# Documented exceptions to the float-portability lint: these columns are
+# non-integral doubles whose pre-round values sit ON the rounding grid at
+# both SFs (round-5 margin audit, PLANS.md "gate-output float audit") —
+# maximally far from any half-boundary, so a strict hash is stable.
+FLOAT_OK = {
+    # o_totalprice is a VERBATIM source-parquet column (no arithmetic):
+    # both engines read the identical double, so the hash cannot drift
+    "q_window_topk": {"o_totalprice"},
+    "q_join_agg": {"revenue"},
+    "q_join_agg_bucketed": {"revenue"},
+    "q_events_hourly": {"sum_value"},
+    "q_event_percentiles": {"p50", "p95", "p99"},
+}
+
+
+def float_lint(name, cols, rows):
+    """Flag non-integral float gate columns — the class that hash-flips on
+    a different DuckDB version (cost rounds 3 AND 4). New queries must
+    emit integral/string/bool columns or justify a FLOAT_OK entry with a
+    measured boundary margin."""
+    bad = set()
+    for r in rows:
+        for i, v in enumerate(r):
+            if isinstance(v, float) and not math.isnan(v):
+                if v != int(v) or abs(v) >= 2**53:
+                    if cols[i] not in FLOAT_OK.get(name, set()):
+                        bad.add(cols[i])
+    return sorted(bad)
+
+
 fails = 0
+lint_hits = []
 for name in sorted(oracles):
     try:
         o = con.sql(oracles[name])
@@ -57,6 +88,11 @@ for name in sorted(oracles):
         if status == "FAIL":
             fails += 1
         print(f"{status} {name}: rows {len(srows)}/{len(orows)} schema={schema_m} hash={hash_m}")
+        bad = float_lint(name, scols, srows)
+        if bad:
+            lint_hits.append((name, bad))
+            print(f"   PORTABILITY: non-integral float column(s) {bad} — "
+                  "integerize (floor-scale) or add a margin-audited FLOAT_OK entry")
         if status == "FAIL" and schema_m and row_m:
             oset = {tuple(map(canon, r)) for r in orows}
             sset = {tuple(map(canon, r)) for r in srows}
@@ -68,4 +104,6 @@ for name in sorted(oracles):
         fails += 1
         print(f"ERR  {name}: {e}")
 print("FAILURES:", fails)
-sys.exit(1 if fails else 0)
+if lint_hits:
+    print("PORTABILITY-LINT:", len(lint_hits), "query(ies) emit unaudited float columns")
+sys.exit(1 if (fails or lint_hits) else 0)
