@@ -216,19 +216,14 @@ final class CrawlEngine(
       }
   }
 
-  // explicit column pruning: the fetch join only ever needs (url, html).
-  // A multi-capture table (the input contract's warc_ts column carries
-  // several snapshots per url on real Common-Crawl data) resolves to the
-  // LATEST capture per url — max_by on (warc_ts, html), a url-keyed
-  // aggregation with map-side partial max, so at 100 TB the shuffle
-  // carries one candidate row per url per partition, not every capture.
-  // Ties (equal warc_ts) break on the body bytes, deterministically; a
-  // null warc_ts capture loses to any timestamped one.
+  // explicit column pruning: the fetch join only ever needs (url, html) —
+  // plus warc_ts when the table is multi-capture, because latest-capture
+  // resolution happens AFTER the frontier join (see resolveLatest in
+  // runLoop): aggregating the whole table per round would shuffle 100 TB
+  // every round, while the post-join aggregation only ever shuffles
+  // frontier-matched rows (frontier-sized × captures-per-url).
   private lazy val pagesSlim: DataFrame =
-    if (multiCapture)
-      pagesAt.groupBy("url")
-        .agg(max(struct(col("warc_ts"), col("html"))).as("m"))
-        .select(col("url"), col("m.html").as("html"))
+    if (multiCapture) pagesAt.select(col("url"), col("html"), col("warc_ts"))
     else pagesAt.select(col("url"), col("html"))
 
   graft.functions.UrlExpressions.registerAll(spark)
@@ -528,6 +523,26 @@ final class CrawlEngine(
       val toFetchK = toFetch.withColumn("fetch_url",
         graft.functions.UrlExpressions.url_strip_fragment_native(col("url")))
       val pagesK = pagesSlim.withColumnRenamed("url", "fetch_url")
+      // Multi-capture resolution AFTER the frontier restriction: max_by
+      // (warc_ts, html) grouped on the frontier row identity (seed, url),
+      // so the aggregation shuffles only frontier-matched rows — never the
+      // pages table. Ties (equal warc_ts) break on the body bytes,
+      // deterministically; a null warc_ts capture loses to any timestamped
+      // one; an absent row's (null, null) struct keeps html null. On
+      // single-capture tables this is the identity — the audited
+      // round-plan is unchanged.
+      def resolveLatest(df: DataFrame): DataFrame =
+        if (!multiCapture) df
+        else df.groupBy(col("seed"), col("url"))
+          .agg(max(struct(col("warc_ts"), col("html"))).as("_m"),
+            first(col("host")).as("host"), first(col("depth")).as("depth"),
+            first(col("host_shard")).as("host_shard"),
+            first(col("fetch_url")).as("fetch_url"))
+          .select(col("seed"), col("url"), col("host"), col("depth"),
+            col("host_shard"), col("_m.html").as("html"), col("fetch_url"))
+      val matchCols = Seq(col("seed"), col("url"), col("host"), col("depth"),
+        col("host_shard"), col("html"), col("fetch_url")) ++
+        (if (multiCapture) Seq(col("warc_ts")) else Nil)
       // An outer join can never broadcast its preserved side, so the
       // broadcast-frontier plan is inner-join + tiny anti-join:
       //   matched = pages join broadcast(frontier)   (streams the big table,
@@ -538,8 +553,9 @@ final class CrawlEngine(
       var matchedToRelease: DataFrame = null
       val joined =
         if (frontierCount <= cfg.broadcastFrontierMaxRows) {
-          val matched = pagesK.join(broadcast(toFetchK), Seq("fetch_url"), "inner")
-            .select(col("seed"), col("url"), col("host"), col("depth"), col("host_shard"), col("html"), col("fetch_url"))
+          val matched = resolveLatest(
+              pagesK.join(broadcast(toFetchK), Seq("fetch_url"), "inner")
+                .select(matchCols: _*))
             .persist(StorageLevel.MEMORY_AND_DISK)
           matchedToRelease = matched
           val missing = toFetchK
@@ -547,7 +563,8 @@ final class CrawlEngine(
             .withColumn("html", lit(null).cast("binary"))
           matched.drop("fetch_url").unionByName(missing.drop("fetch_url"))
         } else
-          toFetchK.join(pagesK, Seq("fetch_url"), "left_outer").drop("fetch_url")
+          resolveLatest(toFetchK.join(pagesK, Seq("fetch_url"), "left_outer"))
+            .drop("fetch_url")
 
       // ---- classify + extract (one pass, reusable per task) ----
       val stepOut = joined
