@@ -1,0 +1,149 @@
+package graft.operators
+
+import graft.textkit.TextKit
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Link-graph analytics over a crawled corpus — the graph-side quality
+ * signals a web-scale training pipeline derives from its crawl (degree
+ * stats, PageRank-style centrality): CC-style pipelines rank domains and
+ * pages by link centrality before sampling training data.
+ *
+ * No reference counterpart (the reference crawls and extracts; it never
+ * ranks the link graph) — this extends the LLM-pipeline operator set the
+ * same way Sampling/Dedup/TextAnalysis do.
+ *
+ * Determinism discipline: PageRank here is FIXED-POINT — ranks are
+ * BIGINT micro-units (`scale` = 1e6) and every step is integer
+ * arithmetic (`div` = truncating integral division, non-negative
+ * operands so floor ≡ trunc in every engine). Integer sums are exactly
+ * associative/commutative, so the result is bit-identical at any
+ * parallelism AND re-derivable in any SQL engine without float-ulp
+ * fragility (the round-4 lesson: no float may cross the oracle gate).
+ *
+ * Scale design (100 TB): the edge table is shuffled ONCE (the
+ * out-degree attach + repartition by src); each iteration shuffles only
+ * (a) the node-sized rank table into the src-join and (b) the map-side
+ * partially-aggregated contribution sums — the edge table itself never
+ * moves again. Dangling mass is a 1-row aggregate per iteration
+ * (treeAggregate-sized, collected driver-side like the BPE argmax:
+ * bounded at `iters` scalars total).
+ */
+object LinkGraph {
+
+  /** Rank unit: 1.0 ≡ 10^6 micro-units. */
+  val Scale = 1000000L
+
+  /** Damping factor 0.85 as the exact rational 85/100. */
+  val DampNum = 85L
+  val DampDen = 100L
+
+  /** Deterministic synthetic out-links for gate/bench inputs: node `i`
+    * links to `(mix64(i·outDeg + k) >>> 1) mod n` for k = 1..outDeg,
+    * self-loops dropped, parallel edges collapsed. Row-local hash (the
+    * splitmix UDF — ANSI mode forbids the intentional wraparound as SQL
+    * operators, same justification as [[Sampling]]); the single shuffle
+    * is the DISTINCT. The DuckDB oracle re-derives the identical edge
+    * set via the HUGEINT mix64 CTE chain. */
+  def syntheticEdges(docs: DataFrame, idCol: String = "doc_id", outDeg: Int = 4): DataFrame = {
+    val dstUdf = udf((id: Long, k: Int, n: Long) =>
+      (TextKit.mix64(id * outDeg + k) >>> 1) % n)
+    val n = docs.agg(count(col(idCol)).as("n"))
+    docs.select(col(idCol).as("src"))
+      .crossJoin(broadcast(n))
+      .withColumn("k", explode(sequence(lit(1), lit(outDeg))))
+      .withColumn("dst", dstUdf(col("src"), col("k"), col("n")))
+      .filter(col("dst") =!= col("src"))
+      .select("src", "dst").distinct()
+  }
+
+  /** Per-node out/in degree: union-tag + ONE keyed aggregation (no
+    * join of two grouped frames), left-joined back to the node list so
+    * isolated / sink / source nodes report explicit zeros. */
+  def degrees(nodes: DataFrame, edges: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val tagged = edges.select(col("src").as("id"), lit(1L).as("o"), lit(0L).as("i"))
+      .unionAll(edges.select(col("dst").as("id"), lit(0L).as("o"), lit(1L).as("i")))
+    val deg = tagged.groupBy("id").agg(sum("o").as("out_deg"), sum("i").as("in_deg"))
+    nodes.select(col(idCol).as("id"))
+      .join(deg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+
+  /**
+   * Fixed-point PageRank, `iters` synchronous rounds:
+   *
+   *   rank₀(v)   = Scale
+   *   contrib(v) = rankᵢ(v) div outDeg(v)            (per out-edge)
+   *   dangleᵢ    = Σ rankᵢ(v) over out-degree-0 v
+   *   rankᵢ₊₁(v) = (DampDen−DampNum)·Scale div DampDen
+   *              + DampNum·(Σ contrib over in-edges) div DampDen
+   *              + DampNum·(dangleᵢ div n) div DampDen
+   *
+   * Total mass is ~n·Scale (truncation sheds < 1 unit per div — the
+   * documented fixed-point price). The exact div/step ORDER above is the
+   * cross-engine contract: the oracle must apply the same operations in
+   * the same order, which integer arithmetic makes sufficient for
+   * bit-equality.
+   *
+   * Per-iteration plan: edges stay put (repartitioned by src once,
+   * persisted); ranks (node-sized) shuffle to the src join; contribution
+   * sums partial-aggregate map-side before the dst shuffle. Lineage is
+   * cut each round by persist + materialize-count, previous round
+   * unpersisted (the iterative-loop discipline from MinhashIndex).
+   */
+  def pageRank(nodes: DataFrame, edges: DataFrame, idCol: String = "doc_id",
+               iters: Int = 5): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    val nodeIds = nodes.select(col(idCol).as("id")).persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodeIds.count()
+    require(n > 0, "pageRank needs at least one node")
+
+    val outDeg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_deg"))
+    // edge table with the src out-degree attached: built once, kept
+    // partitioned on src so the per-round rank join co-locates
+    val edgesDeg = edges.join(outDeg, edges("src") === outDeg("id"))
+      .select(col("src"), col("dst"), col("out_deg"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    edgesDeg.count()
+    // static dangling-node list (out-degree 0): rank lookups only
+    val dangling = nodeIds.join(outDeg, Seq("id"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    dangling.count()
+
+    val teleport = (DampDen - DampNum) * Scale / DampDen
+    var ranks = nodeIds.select(col("id"), lit(Scale).as("rank_fp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ranks.count()
+
+    for (_ <- 1 to iters) {
+      val dangleSum = dangling.join(ranks, Seq("id"))
+        .agg(coalesce(sum("rank_fp"), lit(0L)))
+        .head().getLong(0)
+      val dangleTerm = DampNum * (dangleSum / n) / DampDen
+      val contribs = edgesDeg.join(ranks, edgesDeg("src") === ranks("id"))
+        .select(col("dst"), expr("rank_fp div out_deg").as("c"))
+        .groupBy("dst").agg(sum("c").as("csum"))
+      val next = nodeIds.join(contribs, nodeIds("id") === contribs("dst"), "left")
+        .select(col("id"),
+          (lit(teleport)
+            + expr(s"($DampNum * coalesce(csum, 0)) div $DampDen")
+            + lit(dangleTerm)).as("rank_fp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      ranks.unpersist()
+      ranks = next
+    }
+    // the final ranks are materialized in their own cache; the scaffolding
+    // caches can go (a post-eviction recompute would re-derive them from
+    // the input frames — correct, just cold)
+    nodeIds.unpersist()
+    edgesDeg.unpersist()
+    dangling.unpersist()
+    ranks.select(col("id"), col("rank_fp"))
+  }
+}
