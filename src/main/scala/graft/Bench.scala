@@ -135,7 +135,7 @@ object Bench {
       "ann_topk_brute", "ann_topk_lsh", "ann_topk_ivf",
       "text_quality", "text_lang_id", "text_fingerprint",
       "text_dup_ngram_ratio", "text_repetition_ratio", "text_corpus_stats",
-      "text_bpe_tokens", "multimodal_meta")
+      "text_bpe_tokens", "multimodal_meta", "graph_pagerank")
 
     // untimed warmup: JIT + codegen + parquet footers, so the first timed
     // query measures the engine, not JVM cold start. The IVF fit also runs

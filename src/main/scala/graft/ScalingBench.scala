@@ -865,6 +865,39 @@ object ScalingBench {
         s""""top_merge":"${merges.head.left}+${merges.head.right}:${merges.head.count}",""" +
         s""""merge_digest":"$digest"}""")
 
+    case "pagerank" :: cpusStr :: nStr :: Nil =>
+      // Fixed-point PageRank at graph scale: n nodes, ~4n synthetic
+      // edges, 5 synchronous rounds. The determinism claim is the point:
+      // every step is BIGINT arithmetic, so the rank vector must be
+      // bit-identical at every parallelism level — digest = bit_xor of
+      // xxhash64(id, rank_fp) (both already long — the xxhash64
+      // type-sensitivity gotcha), plus the exact total mass.
+      val cpus = cpusStr.toInt
+      val n = nStr.toLong
+      val s = Bench.buildSession(cpus, s"graft-pagerank-$cpus")
+      import org.apache.spark.sql.functions._
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val nodes = s.range(n).select(col("id").as("doc_id"))
+        .repartition(cpus * 4).persist(lvl)
+      nodes.count()
+      val edges = graft.operators.LinkGraph.syntheticEdges(nodes).persist(lvl)
+      val nEdges = edges.count() // edge derivation excluded from the timed section
+      val warm = s.range(2000).select(col("id").as("doc_id"))
+      graft.operators.LinkGraph.pageRank(warm, graft.operators.LinkGraph.syntheticEdges(warm),
+        iters = 2).count() // warm JIT/codegen
+      val iters = 5
+      val t0 = System.nanoTime()
+      // pageRank materializes every round internally, so the call is eager
+      val pr = graft.operators.LinkGraph.pageRank(nodes, edges, iters = iters)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val row = pr.agg(count(lit(1)).as("n"), sum("rank_fp").as("mass"),
+        expr("bit_xor(xxhash64(id, rank_fp))").as("digest")).head()
+      s.stop()
+      println(
+        s"""{"metric":"pagerank_scale","cpus":$cpus,"n":$n,"edges":$nEdges,"iters":$iters,""" +
+        s""""sec":${f"$sec%.2f"},"edge_iters_per_sec":${f"${nEdges.toDouble * iters / sec}%.1f"},""" +
+        s""""rank_rows":${row.getLong(0)},"total_mass":${row.getLong(1)},"digest":${row.getLong(2)}}""")
+
     case "control" :: threadsStr :: rest if rest.size <= 1 =>
       // Pure-JVM control: the tokenizer kernel across a thread pool —
       // measures THIS VM's thread-scaling ceiling so the crawl's scaling can

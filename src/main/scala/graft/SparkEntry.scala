@@ -763,9 +763,14 @@ object SparkEntry {
     * CTEs — the EXACT div/step order documented on LinkGraph.pageRank,
     * all BIGINT/HUGEINT integer ops (`//` floor-division on non-negative
     * operands ≡ Spark `div`). Teleport = (100−85)·10^6 // 100 = 150000. */
-  private def graphPagerankSql(iters: Int): String = {
+  private def graphPagerankSql(iters: Int): String =
+    s"WITH ${graphPagerankCtes(iters)}\nSELECT id, rank_fp FROM r$iters ORDER BY id"
+
+  /** The pagerank CTE chain WITHOUT the closing select, so composite
+    * oracles (pipeline_rank_e2e) can join r{iters} onwards. */
+  private def graphPagerankCtes(iters: Int): String = {
     val sb = new StringBuilder
-    sb.append(s"WITH $graphEdgeCtes,\n")
+    sb.append(s"$graphEdgeCtes,\n")
     sb.append("ew AS MATERIALIZED (SELECT e.src, e.dst, o.out_deg FROM edges e JOIN outd o ON e.src = o.id),\n")
     sb.append("r0 AS MATERIALIZED (SELECT id, CAST(1000000 AS BIGINT) AS rank_fp FROM nodes)")
     for (i <- 1 to iters) {
@@ -780,9 +785,21 @@ object SparkEntry {
         |                    + (85 * (d.dsum // nn.n)) // 100 AS BIGINT) AS rank_fp
         |  FROM nodes n LEFT JOIN c$i c ON n.id = c.id CROSS JOIN d$i d CROSS JOIN nn)""".stripMargin)
     }
-    sb.append(s"\nSELECT id, rank_fp FROM r$iters ORDER BY id")
     sb.toString
   }
+
+  /** Composite rank×quality×lang pipeline oracle: the pagerank unroll,
+    * quality and lang-id subqueries joined; priority = rank_fp·q_scaled
+    * (BIGINT·BIGINT, ≤ 10^10 — no overflow) under a TOTAL order
+    * (priority desc, doc_id) so the top-50 cut is deterministic. */
+  private val pipelineRankE2eSql =
+    s"""WITH ${graphPagerankCtes(5)}
+       |SELECT r.id AS doc_id, l.lang_pred, q.quality_score_scaled AS q_scaled,
+       |       r.rank_fp, r.rank_fp * q.quality_score_scaled AS priority
+       |FROM r5 r
+       |JOIN ($qualitySql) q ON r.id = q.doc_id
+       |JOIN ($langIdSql) l ON r.id = l.doc_id
+       |ORDER BY priority DESC, doc_id LIMIT 50""".stripMargin
 
   /** Per-language corpus report: the lang-id and quality subqueries joined
     * and re-aggregated in DuckDB. EVERY gate column is integral (round-4
@@ -1325,6 +1342,21 @@ object SparkEntry {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       LinkGraph.pageRank(docs, LinkGraph.syntheticEdges(docs), iters = 5).orderBy("id")
     }),
+    // the webtext curation composite: link centrality × text quality ×
+    // language → per-doc training priority (all-BIGINT; the top-50 cut
+    // rides a TOTAL order so the selected set is deterministic)
+    "pipeline_rank_e2e" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val pr = LinkGraph.pageRank(docs, LinkGraph.syntheticEdges(docs), iters = 5)
+      val q = TextAnalysis.quality(docs)
+        .select(col("doc_id"), floor(col("quality_score") * 10000 + 0.5).cast("long").as("q_scaled"))
+      val l = TextAnalysis.langId(docs)
+      pr.join(q, pr("id") === q("doc_id"))
+        .join(l, Seq("doc_id"))
+        .select(col("doc_id"), col("lang_pred"), col("q_scaled"), col("rank_fp"),
+          (col("rank_fp") * col("q_scaled")).as("priority"))
+        .orderBy(col("priority").desc, col("doc_id")).limit(50)
+    }),
 
     // ---- multimodal plumbing ----
     "multimodal_meta" -> ((s, dir) =>
@@ -1497,6 +1529,7 @@ object SparkEntry {
     "corpus_stratified" -> corpusStratifiedSql,
     "graph_degrees" -> graphDegreesSql,
     "graph_pagerank" -> graphPagerankSql(5),
+    "pipeline_rank_e2e" -> pipelineRankE2eSql,
     "q_asof_join" -> asofJoinSql,
     "q_asof_join_sharded" -> asofJoinSql,
     "q_sessions" -> sessionsSql,

@@ -110,10 +110,14 @@ object LinkGraph {
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     edgesDeg.count()
-    // static dangling-node list (out-degree 0): rank lookups only
+    // static dangling-node list (out-degree 0): rank lookups only. When
+    // it is EMPTY (typical for generated link graphs) the per-iteration
+    // dangling-sum job is skipped entirely — at small per-round work the
+    // extra driver round-trip per iteration was the dominant serial
+    // overhead in the scaling fit (t(c) = W/c + O)
     val dangling = nodeIds.join(outDeg, Seq("id"), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    dangling.count()
+    val danglingCount = dangling.count()
 
     val teleport = (DampDen - DampNum) * Scale / DampDen
     var ranks = nodeIds.select(col("id"), lit(Scale).as("rank_fp"))
@@ -121,9 +125,11 @@ object LinkGraph {
     ranks.count()
 
     for (_ <- 1 to iters) {
-      val dangleSum = dangling.join(ranks, Seq("id"))
-        .agg(coalesce(sum("rank_fp"), lit(0L)))
-        .head().getLong(0)
+      val dangleSum =
+        if (danglingCount == 0L) 0L
+        else dangling.join(ranks, Seq("id"))
+          .agg(coalesce(sum("rank_fp"), lit(0L)))
+          .head().getLong(0)
       val dangleTerm = DampNum * (dangleSum / n) / DampDen
       val contribs = edgesDeg.join(ranks, edgesDeg("src") === ranks("id"))
         .select(col("dst"), expr("rank_fp div out_deg").as("c"))
