@@ -788,6 +788,41 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Domain-level weighted PageRank oracle: contract the synthetic edge
+    * set to `doc_id mod nDom` domains (distinct alias names — never
+    * shadow a source column with a GROUP BY alias, binding precedence is
+    * engine-specific), then the SAME fixed-point recurrence with
+    * weighted contributions (rank·w // out_w). */
+  private def graphDomainRankSql(iters: Int, nDom: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH $graphEdgeCtes,\n")
+    sb.append(
+      s"""dnodes AS MATERIALIZED (SELECT DISTINCT doc_id % $nDom AS id FROM documents),
+         |dnn AS MATERIALIZED (SELECT count(*) AS n FROM dnodes),
+         |dedges AS MATERIALIZED (
+         |  SELECT dsrc, ddst, count(*) AS w FROM (
+         |    SELECT src % $nDom AS dsrc, dst % $nDom AS ddst FROM edges) t
+         |  WHERE dsrc <> ddst GROUP BY dsrc, ddst),
+         |doutw AS MATERIALIZED (SELECT dsrc AS id, sum(w) AS out_w FROM dedges GROUP BY dsrc),
+         |dew AS MATERIALIZED (
+         |  SELECT e.dsrc, e.ddst, e.w, o.out_w FROM dedges e JOIN doutw o ON e.dsrc = o.id),
+         |dr0 AS MATERIALIZED (SELECT id, CAST(1000000 AS BIGINT) AS rank_fp FROM dnodes)""".stripMargin)
+    for (i <- 1 to iters) {
+      val p = i - 1
+      sb.append(s""",
+        |dc$i AS (SELECT dew.ddst AS id, sum((r.rank_fp * dew.w) // dew.out_w) AS csum
+        |         FROM dew JOIN dr$p r ON dew.dsrc = r.id GROUP BY dew.ddst),
+        |dd$i AS (SELECT coalesce(sum(r.rank_fp), 0) AS dsum
+        |         FROM dr$p r LEFT JOIN doutw o ON r.id = o.id WHERE o.id IS NULL),
+        |dr$i AS MATERIALIZED (
+        |  SELECT n.id, CAST(150000 + (85 * coalesce(c.csum, 0)) // 100
+        |                    + (85 * (d.dsum // dnn.n)) // 100 AS BIGINT) AS rank_fp
+        |  FROM dnodes n LEFT JOIN dc$i c ON n.id = c.id CROSS JOIN dd$i d CROSS JOIN dnn)""".stripMargin)
+    }
+    sb.append(s"\nSELECT id, rank_fp FROM dr$iters ORDER BY id")
+    sb.toString
+  }
+
   /** Composite rank×quality×lang pipeline oracle: the pagerank unroll,
     * quality and lang-id subqueries joined; priority = rank_fp·q_scaled
     * (BIGINT·BIGINT, ≤ 10^10 — no overflow) under a TOTAL order
@@ -1342,6 +1377,16 @@ object SparkEntry {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       LinkGraph.pageRank(docs, LinkGraph.syntheticEdges(docs), iters = 5).orderBy("id")
     }),
+    // domain-level weighted centrality (the CC domain-ranking flow):
+    // page edges contract to `doc_id mod 32` domains with multiplicity
+    // weights; rank flows proportionally to weight — same all-BIGINT
+    // recurrence, weighted contribution (rank·w div out_w)
+    "graph_domain_rank" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val dom = LinkGraph.contractToDomains(LinkGraph.syntheticEdges(docs), nDomains = 32)
+      val domNodes = docs.select((col("doc_id") % 32).as("doc_id")).distinct()
+      LinkGraph.pageRank(domNodes, dom, iters = 5, weightCol = Some("w")).orderBy("id")
+    }),
     // the webtext curation composite: link centrality × text quality ×
     // language → per-doc training priority (all-BIGINT; the top-50 cut
     // rides a TOTAL order so the selected set is deterministic)
@@ -1529,6 +1574,7 @@ object SparkEntry {
     "corpus_stratified" -> corpusStratifiedSql,
     "graph_degrees" -> graphDegreesSql,
     "graph_pagerank" -> graphPagerankSql(5),
+    "graph_domain_rank" -> graphDomainRankSql(5, 32),
     "pipeline_rank_e2e" -> pipelineRankE2eSql,
     "q_asof_join" -> asofJoinSql,
     "q_asof_join_sharded" -> asofJoinSql,

@@ -59,6 +59,21 @@ object LinkGraph {
       .select("src", "dst").distinct()
   }
 
+  /** Contract a page-level edge list to a domain-level weighted graph —
+    * the CC-style domain-ranking flow: node → domain by `id mod
+    * nDomains` (the deterministic stand-in for url_domain on synthetic
+    * ids; with real urls pass an edge list already keyed by
+    * `url_domain`), parallel page edges collapse into a positive BIGINT
+    * weight, intra-domain edges drop. ONE keyed aggregation (map-side
+    * combined): at 100 TB the shuffle carries one (src,dst,partial)
+    * per domain pair per partition, never the page edges. */
+  def contractToDomains(edges: DataFrame, nDomains: Int): DataFrame = {
+    require(nDomains > 0, "nDomains must be positive")
+    edges.select((col("src") % nDomains).as("src"), (col("dst") % nDomains).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+  }
+
   /** Per-node out/in degree: union-tag + ONE keyed aggregation (no
     * join of two grouped frames), left-joined back to the node list so
     * isolated / sink / source nodes report explicit zeros. */
@@ -77,11 +92,17 @@ object LinkGraph {
    * Fixed-point PageRank, `iters` synchronous rounds:
    *
    *   rank₀(v)   = Scale
-   *   contrib(v) = rankᵢ(v) div outDeg(v)            (per out-edge)
-   *   dangleᵢ    = Σ rankᵢ(v) over out-degree-0 v
+   *   contrib(e) = (rankᵢ(src)·w(e)) div outW(src)    (per out-edge e)
+   *   dangleᵢ    = Σ rankᵢ(v) over out-weight-0 v
    *   rankᵢ₊₁(v) = (DampDen−DampNum)·Scale div DampDen
    *              + DampNum·(Σ contrib over in-edges) div DampDen
    *              + DampNum·(dangleᵢ div n) div DampDen
+   *
+   * `weightCol` names a positive BIGINT edge-weight column (rank flows
+   * proportionally to weight; outW(src) = Σ w over src's out-edges, and
+   * rank·w must stay < 2^63 — holds whenever total mass · max-weight
+   * does). Unweighted (the default) is EXACTLY the w ≡ 1 case:
+   * (rank·1) div outDeg — same recurrence, same oracle.
    *
    * Total mass is ~n·Scale (truncation sheds < 1 unit per div — the
    * documented fixed-point price). The exact div/step ORDER above is the
@@ -96,17 +117,18 @@ object LinkGraph {
    * unpersisted (the iterative-loop discipline from MinhashIndex).
    */
   def pageRank(nodes: DataFrame, edges: DataFrame, idCol: String = "doc_id",
-               iters: Int = 5): DataFrame = {
+               iters: Int = 5, weightCol: Option[String] = None): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
     val nodeIds = nodes.select(col(idCol).as("id")).persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodeIds.count()
     require(n > 0, "pageRank needs at least one node")
 
-    val outDeg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_deg"))
-    // edge table with the src out-degree attached: built once, kept
-    // partitioned on src so the per-round rank join co-locates
+    val w = weightCol.map(col).getOrElse(lit(1L))
+    val outDeg = edges.groupBy(col("src").as("id")).agg(sum(w).as("out_w"))
+    // edge table with its weight and the src out-weight attached: built
+    // once, kept partitioned on src so the per-round rank join co-locates
     val edgesDeg = edges.join(outDeg, edges("src") === outDeg("id"))
-      .select(col("src"), col("dst"), col("out_deg"))
+      .select(col("src"), col("dst"), w.cast("long").as("w"), col("out_w"))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     edgesDeg.count()
@@ -132,7 +154,7 @@ object LinkGraph {
           .head().getLong(0)
       val dangleTerm = DampNum * (dangleSum / n) / DampDen
       val contribs = edgesDeg.join(ranks, edgesDeg("src") === ranks("id"))
-        .select(col("dst"), expr("rank_fp div out_deg").as("c"))
+        .select(col("dst"), expr("(rank_fp * w) div out_w").as("c"))
         .groupBy("dst").agg(sum("c").as("csum"))
       val next = nodeIds.join(contribs, nodeIds("id") === contribs("dst"), "left")
         .select(col("id"),
