@@ -788,6 +788,87 @@ object SparkEntry {
     sb.toString
   }
 
+  // ---- streaming gate: a real Structured Streaming run inside the
+  // driver's correctness gate ------------------------------------------------
+
+  private val streamSinkSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def deleteRecursively(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      val st = java.nio.file.Files.walk(p)
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(st.iterator()).asScala
+        .toSeq.reverse.foreach(f => java.nio.file.Files.deleteIfExists(f))
+      finally st.close()
+    }
+  }
+
+  /** Drives StreamOps.sessionize (flatMapGroupsWithState, event-time
+    * timeout) over a mod-time-ordered parquet FILE stream of the sfDir
+    * events table and returns the collected sessions — so the streaming
+    * operator gets a DRIVER-GATE row against the SAME DuckDB oracle as
+    * the batch path (`sessionsSql`), not just spec equality. Exactness
+    * rests on chunk ordering (the ScalingBench sessions_stream protocol,
+    * gate-sized): events split into `batches` consecutive event-time
+    * ranges, one file per chunk, `maxFilesPerTrigger = 1` — chunk k+1's
+    * min ts ≥ chunk k's max ts, so no event is ever behind the watermark
+    * when its batch runs; two far-future sentinel chunks (user −1,
+    * filtered from the result) advance the watermark past every
+    * session's timeout so state flushes deterministically. */
+  private def streamSessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = s.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value").cast("double").as("value"))
+    val bounds = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val (minUs, maxUs) = (bounds.getLong(0), bounds.getLong(1))
+    val batches = 5
+    val width = (maxUs - minUs) / batches + 1
+    val watch = java.nio.file.Files.createTempDirectory("graft-gate-sess-").toString
+    val stage = java.nio.file.Files.createTempDirectory("graft-gate-stage-").toString
+    var chunkIdx = 0
+    def publish(df: DataFrame): Unit = {
+      val tmp = s"$stage/c$chunkIdx"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+      val srcs =
+        try scala.jdk.CollectionConverters.IteratorHasAsScala(st.iterator()).asScala
+          .filter(_.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+        finally st.close()
+      // an all-empty chunk may produce no part file — nothing to replay
+      srcs.headOption.foreach { src =>
+        val dst = java.nio.file.Paths.get(watch, f"chunk-$chunkIdx%05d.parquet")
+        java.nio.file.Files.move(src, dst)
+        dst.toFile.setLastModified(1700000000000L + chunkIdx * 10000L)
+      }
+      chunkIdx += 1
+    }
+    (0 until batches).foreach { i =>
+      publish(ev.filter(unix_micros(col("ts")) >= minUs + i.toLong * width
+        && unix_micros(col("ts")) < minUs + (i + 1).toLong * width))
+    }
+    val maxMs = maxUs / 1000L
+    Seq(3600000L, 7200000L).foreach { off =>
+      publish(s.range(1).select(lit(-1L).as("event_id"),
+        timestamp_millis(lit(maxMs + off)).as("ts"), lit(-1L).as("user_id"),
+        lit("v").as("event_type"), lit(1.0).as("value")))
+    }
+    val name = s"gate_stream_sessions_${streamSinkSeq.incrementAndGet()}"
+    val src = s.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
+      .parquet(watch).as[graft.streaming.StreamOps.Event]
+    val q = graft.streaming.StreamOps.sessionize(src)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    // the memory sink holds the rows; the replay files can go
+    Seq(watch, stage).foreach(deleteRecursively)
+    s.table(name).filter(col("user_id") >= 0)
+      .select(col("user_id"),
+        col("start").cast("timestamp_ntz").as("session_start"),
+        col("end").cast("timestamp_ntz").as("session_end"),
+        col("n_events").cast("long").as("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
   /** Domain-level weighted PageRank oracle: contract the synthetic edge
     * set to `doc_id mod nDom` domains (distinct alias names — never
     * shadow a source column with a GROUP BY alias, binding precedence is
@@ -1377,6 +1458,9 @@ object SparkEntry {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       LinkGraph.pageRank(docs, LinkGraph.syntheticEdges(docs), iters = 5).orderBy("id")
     }),
+    // REAL Structured Streaming inside the gate: sessionize as a
+    // file-stream replay, same oracle as the batch q_sessions
+    "stream_sessions" -> ((s, dir) => streamSessions(s, dir)),
     // domain-level weighted centrality (the CC domain-ranking flow):
     // page edges contract to `doc_id mod 32` domains with multiplicity
     // weights; rank flows proportionally to weight — same all-BIGINT
@@ -1579,6 +1663,7 @@ object SparkEntry {
     "q_asof_join" -> asofJoinSql,
     "q_asof_join_sharded" -> asofJoinSql,
     "q_sessions" -> sessionsSql,
+    "stream_sessions" -> sessionsSql, // the streaming path must land on the batch answer
     "q_event_percentiles" ->
       """SELECT event_type,
         |       round(quantile_cont(value, 0.5), 4) AS p50,

@@ -19,6 +19,18 @@ object StreamOps {
   final case class SessionOut(user_id: Long, n_events: Int, start: Timestamp, end: Timestamp)
   final case class SessionState(n: Int, start: Long, last: Long)
 
+  /** Full-precision Timestamp → microseconds. `Timestamp.getTime` alone is
+    * MILLISECOND-truncated — on parquet µs data the sub-ms digits vanish
+    * and gap/as-of comparisons diverge from the exact-µs batch operators
+    * (caught by the stream_sessions driver-gate row). */
+  private[streaming] def tsUs(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+  private[streaming] def usTs(us: Long): Timestamp = {
+    val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** Tumbling event-time windows with a watermark: late events beyond
     * `lateness` are dropped; emits per (window, event_type) counts/sums. */
   def windowedCounts(events: DataFrame, window_ : String = "1 hour", lateness: String = "2 hours"): DataFrame =
@@ -47,21 +59,22 @@ object StreamOps {
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (userId, evs, state: GroupState[SessionState]) =>
+          val gapUs = gapMinutes * 60000000L
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(SessionOut(userId, s.n, new Timestamp(s.start), new Timestamp(s.last)))
+            Iterator(SessionOut(userId, s.n, usTs(s.start), usTs(s.last)))
           } else {
-            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            val sorted = evs.toSeq.sortBy(e => (tsUs(e.ts), e.event_id))
             var closed = List.empty[SessionOut]
             var cur = state.getOption
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = tsUs(e.ts)
               cur match {
-                case Some(s) if t - s.last <= gapMinutes * 60000L =>
+                case Some(s) if t - s.last <= gapUs =>
                   cur = Some(SessionState(s.n + 1, s.start, math.max(s.last, t)))
                 case Some(s) =>
-                  closed ::= SessionOut(userId, s.n, new Timestamp(s.start), new Timestamp(s.last))
+                  closed ::= SessionOut(userId, s.n, usTs(s.start), usTs(s.last))
                   cur = Some(SessionState(1, t, t))
                 case None =>
                   cur = Some(SessionState(1, t, t))
@@ -69,7 +82,10 @@ object StreamOps {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMinutes * 60000L)
+              // timeout API is ms: CEIL so the flush never fires before the
+              // exact-µs gap has elapsed (an early ms-truncated timeout
+              // could close a session a same-batch-late event continues)
+              state.setTimeoutTimestamp(math.floorDiv(s.last + gapUs + 999L, 1000L))
             }
             closed.reverseIterator
           }
@@ -304,23 +320,25 @@ object StreamOps {
           val leftsB = scala.collection.mutable.ArrayBuffer.from(st0.lefts)
           val rightsB = scala.collection.mutable.ArrayBuffer.from(st0.rights)
           if (!state.hasTimedOut) rows.foreach { e =>
-            if (e.is_left) leftsB += ((e.ts.getTime, e.id))
-            else rightsB += ((e.ts.getTime, e.id, e.value))
+            if (e.is_left) leftsB += ((tsUs(e.ts), e.id))
+            else rightsB += ((tsUs(e.ts), e.id, e.value))
           }
-          val wm = state.getCurrentWatermarkMs()
+          // state timestamps are exact µs (the batch operator's precision);
+          // the ms watermark is scaled up for comparisons
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
           // strict: while wm == left.ts a right AT that instant may still arrive
-          val (ready, pending) = leftsB.toSeq.partition(_._1 < wm)
+          val (ready, pending) = leftsB.toSeq.partition(_._1 < wmUs)
           val rights = rightsB.toSeq
           val out = ready.sorted.map { case (lts, lid) =>
             val m = rights.filter(_._1 <= lts)
-            if (m.isEmpty) AsofOut(key, lid, new Timestamp(lts), None, None, None)
+            if (m.isEmpty) AsofOut(key, lid, usTs(lts), None, None, None)
             else {
               val best = m.max
-              AsofOut(key, lid, new Timestamp(lts),
-                Some(best._2), Some(new Timestamp(best._1)), Some(best._3))
+              AsofOut(key, lid, usTs(lts),
+                Some(best._2), Some(usTs(best._1)), Some(best._3))
             }
           }
-          val (oldR, liveR) = rights.partition(_._1 < wm)
+          val (oldR, liveR) = rights.partition(_._1 < wmUs)
           val keptR = (if (oldR.nonEmpty) Seq(oldR.max) else Nil) ++ liveR
           if (pending.isEmpty && keptR.isEmpty) state.remove()
           else {
@@ -331,7 +349,11 @@ object StreamOps {
             // in-window right forever instead of the documented single
             // compacted candidate
             val wake = (pending.map(_._1) ++ liveR.map(_._1)).minOption
-            wake.foreach(w => state.setTimeoutTimestamp(math.max(w + 1, wm + 1)))
+            // µs → ms timeout: floor(w/1000) fires exactly when the ms
+            // watermark first exceeds w in µs terms; clamp above the
+            // current watermark (the timeout API rejects the past)
+            wake.foreach(w => state.setTimeoutTimestamp(
+              math.max(math.floorDiv(w, 1000L), state.getCurrentWatermarkMs() + 1)))
           }
           out.iterator
       }
