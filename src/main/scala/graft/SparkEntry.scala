@@ -815,8 +815,18 @@ object SparkEntry {
     * when its batch runs; two far-future sentinel chunks (user −1,
     * filtered from the result) advance the watermark past every
     * session's timeout so state flushes deterministically. */
-  private def streamSessions(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** Sentinel rows carry this event_type (and user_id −1) — both gate
+    * queries filter them from the result. */
+  private val StreamSentinelType = "__sentinel__"
+
+  /** Publishes the sfDir events table as a mod-time-ordered chunked
+    * parquet file stream (consecutive event-time ranges, one file per
+    * chunk, replayed with maxFilesPerTrigger = 1 so chunk k+1's min ts ≥
+    * chunk k's max ts and nothing is ever behind the watermark), plus two
+    * far-future sentinel chunks (+4 h/+8 h — past every watermark horizon
+    * and window end the gate operators use) that flush all state.
+    * Returns (streaming source, cleanup thunk for the replay dirs). */
+  private def eventsFileStream(s: SparkSession, dir: String): (DataFrame, () => Unit) = {
     val ev = s.read.parquet(s"$dir/events.parquet")
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("user_id"), col("event_type"), col("value").cast("double").as("value"))
@@ -824,7 +834,7 @@ object SparkEntry {
     val (minUs, maxUs) = (bounds.getLong(0), bounds.getLong(1))
     val batches = 5
     val width = (maxUs - minUs) / batches + 1
-    val watch = java.nio.file.Files.createTempDirectory("graft-gate-sess-").toString
+    val watch = java.nio.file.Files.createTempDirectory("graft-gate-stream-").toString
     val stage = java.nio.file.Files.createTempDirectory("graft-gate-stage-").toString
     var chunkIdx = 0
     def publish(df: DataFrame): Unit = {
@@ -848,26 +858,52 @@ object SparkEntry {
         && unix_micros(col("ts")) < minUs + (i + 1).toLong * width))
     }
     val maxMs = maxUs / 1000L
-    Seq(3600000L, 7200000L).foreach { off =>
+    Seq(4L * 3600000L, 8L * 3600000L).foreach { off =>
       publish(s.range(1).select(lit(-1L).as("event_id"),
         timestamp_millis(lit(maxMs + off)).as("ts"), lit(-1L).as("user_id"),
-        lit("v").as("event_type"), lit(1.0).as("value")))
+        lit(StreamSentinelType).as("event_type"), lit(1.0).as("value")))
     }
-    val name = s"gate_stream_sessions_${streamSinkSeq.incrementAndGet()}"
-    val src = s.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
-      .parquet(watch).as[graft.streaming.StreamOps.Event]
-    val q = graft.streaming.StreamOps.sessionize(src)
-      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val src = s.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(watch)
+    (src, () => Seq(watch, stage).foreach(deleteRecursively))
+  }
+
+  /** Runs a streaming transform over the events file stream to an
+    * append-mode memory sink, drives it to completion, and returns the
+    * collected table (the sink holds the rows; replay files are cleaned). */
+  private def runEventStream(s: SparkSession, dir: String,
+      label: String)(transform: DataFrame => DataFrame): DataFrame = {
+    val (src, cleanup) = eventsFileStream(s, dir)
+    val name = s"gate_${label}_${streamSinkSeq.incrementAndGet()}"
+    val q = transform(src).writeStream.format("memory")
+      .queryName(name).outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
-    // the memory sink holds the rows; the replay files can go
-    Seq(watch, stage).foreach(deleteRecursively)
-    s.table(name).filter(col("user_id") >= 0)
+    cleanup()
+    s.table(name)
+  }
+
+  private def streamSessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    runEventStream(s, dir, "stream_sessions")(df =>
+      graft.streaming.StreamOps.sessionize(df.as[graft.streaming.StreamOps.Event]).toDF())
+      .filter(col("user_id") >= 0)
       .select(col("user_id"),
         col("start").cast("timestamp_ntz").as("session_start"),
         col("end").cast("timestamp_ntz").as("session_end"),
         col("n_events").cast("long").as("n_events"))
       .orderBy("user_id", "session_start")
   }
+
+  /** Watermarked tumbling-window hourly counts, streamed — same oracle
+    * as the batch q_events_hourly (sum_value inherits its on-grid
+    * FLOAT_OK margin audit: identical input values, and the measured
+    * half-boundary margin dwarfs any summation-order ulp). */
+  private def streamHourly(s: SparkSession, dir: String): DataFrame =
+    runEventStream(s, dir, "stream_hourly")(df =>
+      graft.streaming.StreamOps.windowedCounts(df))
+      .filter(col("event_type") =!= StreamSentinelType)
+      .select(col("window_start").cast("timestamp_ntz").as("h"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("h", "event_type")
 
   /** Domain-level weighted PageRank oracle: contract the synthetic edge
     * set to `doc_id mod nDom` domains (distinct alias names — never
@@ -1461,6 +1497,9 @@ object SparkEntry {
     // REAL Structured Streaming inside the gate: sessionize as a
     // file-stream replay, same oracle as the batch q_sessions
     "stream_sessions" -> ((s, dir) => streamSessions(s, dir)),
+    // watermarked tumbling-window aggregation, streamed to completion —
+    // the SAME oracle as the batch q_events_hourly
+    "stream_hourly" -> ((s, dir) => streamHourly(s, dir)),
     // domain-level weighted centrality (the CC domain-ranking flow):
     // page edges contract to `doc_id mod 32` domains with multiplicity
     // weights; rank flows proportionally to weight — same all-BIGINT
@@ -1664,6 +1703,7 @@ object SparkEntry {
     "q_asof_join_sharded" -> asofJoinSql,
     "q_sessions" -> sessionsSql,
     "stream_sessions" -> sessionsSql, // the streaming path must land on the batch answer
+    "stream_hourly" -> eventsHourlySql,
     "q_event_percentiles" ->
       """SELECT event_type,
         |       round(quantile_cont(value, 0.5), 4) AS p50,

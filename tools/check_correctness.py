@@ -50,6 +50,9 @@ FLOAT_OK = {
     "q_join_agg": {"revenue"},
     "q_join_agg_bucketed": {"revenue"},
     "q_events_hourly": {"sum_value"},
+    # stream_hourly emits the identical (window, type) sums as
+    # q_events_hourly — same values, same measured on-grid margin
+    "stream_hourly": {"sum_value"},
     "q_event_percentiles": {"p50", "p95", "p99"},
 }
 
