@@ -50,7 +50,10 @@ object LinkGraph {
   def syntheticEdges(docs: DataFrame, idCol: String = "doc_id", outDeg: Int = 4): DataFrame = {
     val dstUdf = udf((id: Long, k: Int, n: Long) =>
       (TextKit.mix64(id * outDeg + k) >>> 1) % n)
-    val n = docs.agg(count(col(idCol)).as("n"))
+    // count(*) row count, NOT count(idCol): the oracle's `nn` counts all
+    // rows, and the two must agree on the dst modulus even if a null-id
+    // row sneaks in (its own edges null out and drop on both sides)
+    val n = docs.agg(count(lit(1)).as("n"))
     docs.select(col(idCol).as("src"))
       .crossJoin(broadcast(n))
       .withColumn("k", explode(sequence(lit(1), lit(outDeg))))
