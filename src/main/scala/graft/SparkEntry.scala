@@ -893,6 +893,32 @@ object SparkEntry {
       .orderBy("user_id", "session_start")
   }
 
+  /** Streaming as-of join driven to completion — same oracle as the
+    * batch q_asof_join (DuckDB native ASOF LEFT JOIN). The sentinel rows
+    * must SURVIVE the purchase/view filter or the watermark (applied
+    * inside asofJoinStream, downstream of the filter) would never pass
+    * the last real event and pending lefts would never flush — they ride
+    * through as rights on key −1 (no left on that key ⇒ no output row;
+    * the key filter is belt and braces). */
+  private def streamAsof(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    runEventStream(s, dir, "stream_asof") { df =>
+      val tagged = df
+        .filter(col("event_type").isin("purchase", "view", StreamSentinelType))
+        .select(col("user_id").as("key"), col("ts"),
+          (col("event_type") === "purchase").as("is_left"),
+          col("event_id").as("id"), col("value"))
+        .as[graft.streaming.StreamOps.AsofEvent]
+      graft.streaming.StreamOps.asofJoinStream(tagged).toDF()
+    }
+      .filter(col("key") >= 0)
+      .select(col("left_id").as("event_id"), col("key").as("user_id"),
+        col("left_ts").cast("timestamp_ntz").as("ts"),
+        col("right_ts").cast("timestamp_ntz").as("view_ts"),
+        col("right_id").as("view_event_id"))
+      .orderBy("event_id")
+  }
+
   /** Watermarked tumbling-window hourly counts, streamed — same oracle
     * as the batch q_events_hourly (sum_value inherits its on-grid
     * FLOAT_OK margin audit: identical input values, and the measured
@@ -1500,6 +1526,8 @@ object SparkEntry {
     // watermarked tumbling-window aggregation, streamed to completion —
     // the SAME oracle as the batch q_events_hourly
     "stream_hourly" -> ((s, dir) => streamHourly(s, dir)),
+    // streaming as-of join vs the native DuckDB ASOF oracle
+    "stream_asof" -> ((s, dir) => streamAsof(s, dir)),
     // domain-level weighted centrality (the CC domain-ranking flow):
     // page edges contract to `doc_id mod 32` domains with multiplicity
     // weights; rank flows proportionally to weight — same all-BIGINT
@@ -1704,6 +1732,7 @@ object SparkEntry {
     "q_sessions" -> sessionsSql,
     "stream_sessions" -> sessionsSql, // the streaming path must land on the batch answer
     "stream_hourly" -> eventsHourlySql,
+    "stream_asof" -> asofJoinSql,
     "q_event_percentiles" ->
       """SELECT event_type,
         |       round(quantile_cont(value, 0.5), 4) AS p50,
