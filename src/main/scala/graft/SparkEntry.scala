@@ -834,6 +834,27 @@ object SparkEntry {
     val (minUs, maxUs) = (bounds.getLong(0), bounds.getLong(1))
     val batches = 5
     val width = (maxUs - minUs) / batches + 1
+    val ranges = (0 until batches).map { i =>
+      ev.filter(unix_micros(col("ts")) >= minUs + i.toLong * width
+        && unix_micros(col("ts")) < minUs + (i + 1).toLong * width)
+    }
+    val maxMs = maxUs / 1000L
+    val sentinels = Seq(4L * 3600000L, 8L * 3600000L).map { off =>
+      s.range(1).select(lit(-1L).as("event_id"),
+        timestamp_millis(lit(maxMs + off)).as("ts"), lit(-1L).as("user_id"),
+        lit(StreamSentinelType).as("event_type"), lit(1.0).as("value"))
+    }
+    chunkedFileStream(s, ev.schema, ranges ++ sentinels)
+  }
+
+  /** Publishes pre-computed chunk DataFrames as a mod-time-ordered parquet
+    * file stream (one file per non-empty chunk, strictly increasing mod
+    * times, replayed with maxFilesPerTrigger = 1 so chunk k+1 is a later
+    * micro-batch than chunk k). Returns (streaming source, cleanup thunk
+    * for the replay dirs). */
+  private def chunkedFileStream(s: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      chunks: Seq[DataFrame]): (DataFrame, () => Unit) = {
     val watch = java.nio.file.Files.createTempDirectory("graft-gate-stream-").toString
     val stage = java.nio.file.Files.createTempDirectory("graft-gate-stage-").toString
     var chunkIdx = 0
@@ -853,17 +874,8 @@ object SparkEntry {
       }
       chunkIdx += 1
     }
-    (0 until batches).foreach { i =>
-      publish(ev.filter(unix_micros(col("ts")) >= minUs + i.toLong * width
-        && unix_micros(col("ts")) < minUs + (i + 1).toLong * width))
-    }
-    val maxMs = maxUs / 1000L
-    Seq(4L * 3600000L, 8L * 3600000L).foreach { off =>
-      publish(s.range(1).select(lit(-1L).as("event_id"),
-        timestamp_millis(lit(maxMs + off)).as("ts"), lit(-1L).as("user_id"),
-        lit(StreamSentinelType).as("event_type"), lit(1.0).as("value")))
-    }
-    val src = s.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(watch)
+    chunks.foreach(publish)
+    val src = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(watch)
     (src, () => Seq(watch, stage).foreach(deleteRecursively))
   }
 
@@ -930,6 +942,37 @@ object SparkEntry {
       .select(col("window_start").cast("timestamp_ntz").as("h"),
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("h", "event_type")
+
+  /** Continuous corpus ingest — quality gate → exact content-hash dedup
+    * with streaming state (`dropDuplicatesWithinWatermark`) — driven to
+    * completion over a chunked replay of the documents table. The gate
+    * shape is the SET of surviving content hashes with their text-derived
+    * columns, which is invariant to WHICH duplicate row a micro-batch
+    * happens to deliver first (identical text ⇒ identical hash, token
+    * count, and score), so partition order inside a chunk cannot perturb
+    * the result. Synthetic arrival time = doc_id milliseconds: the whole
+    * corpus spans far less than the 1 h watermark delay, so no dedup key
+    * is evicted mid-run and the streamed answer is EXACT. */
+  private def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"),
+        timestamp_millis(col("doc_id") + lit(1700000000000L)).as("ts"))
+    val nChunks = 5
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val width = maxId / nChunks + 1
+    val chunks = (0 until nChunks).map(i =>
+      docs.filter(col("doc_id") >= i.toLong * width && col("doc_id") < (i + 1).toLong * width))
+    val (src, cleanup) = chunkedFileStream(s, docs.schema, chunks)
+    val name = s"gate_stream_dedup_${streamSinkSeq.incrementAndGet()}"
+    val q = graft.streaming.StreamOps.ingestDedupStream(src)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    cleanup()
+    s.table(name)
+      .select(col("content_hash"), col("n_tokens").cast("long").as("n_tokens"),
+        floor(col("quality_score") * 10000 + 0.5).cast("long").as("q_scaled"))
+      .orderBy("content_hash")
+  }
 
   /** Domain-level weighted PageRank oracle: contract the synthetic edge
     * set to `doc_id mod nDom` domains (distinct alias names — never
@@ -1528,6 +1571,21 @@ object SparkEntry {
     "stream_hourly" -> ((s, dir) => streamHourly(s, dir)),
     // streaming as-of join vs the native DuckDB ASOF oracle
     "stream_asof" -> ((s, dir) => streamAsof(s, dir)),
+    // continuous ingest-dedup (quality gate + stateful exact dedup),
+    // streamed to completion — order-invariant survivor-set gate shape
+    "stream_dedup" -> ((s, dir) => streamDedup(s, dir)),
+    // the crawl checkpoint tailed AS a stream (north-star: each crawl
+    // round is a micro-batch): per-result-type counts over the committed
+    // per-round result increments, driven to completion in complete mode
+    "stream_crawl" -> ((s, _) => {
+      val run = crawlRun(s, CT)
+      val name = s"gate_stream_crawl_${streamSinkSeq.incrementAndGet()}"
+      val q = graft.streaming.StreamOps.crawlResultsStream(s, run.checkpointDir)
+        .writeStream.format("memory").queryName(name).outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name).filter(col("seed") === CT)
+        .select(col("result_type"), col("n")).orderBy("result_type")
+    }),
     // domain-level weighted centrality (the CC domain-ranking flow):
     // page edges contract to `doc_id mod 32` domains with multiplicity
     // weights; rank flows proportionally to weight — same all-BIGINT
@@ -1629,6 +1687,22 @@ object SparkEntry {
       run.resultFor(seed)
         .select(col("url"), col("result_type"), size(col("internal_links")).as("n_internal"))
         .orderBy("url")
+    }),
+    // politeness schedule in the gate: robots Crawl-delay 10 + roundSeconds
+    // 10 → budget of 1 fetch/host/round, so /a and /b (both discovered in
+    // round 1) MUST land in different rounds, ordered by the politeness
+    // window — the BFS default (depth asc, url asc) fetches /a first, while
+    // priorityScore "url" (ranked desc) fetches /b first. The pinned oracle
+    // encodes the complete per-round fetch schedule of both variants.
+    "crawl_politeness" -> ((s, _) => {
+      val seed = s"${PagesGen.host("politeness")}/start"
+      def sched(cfg: CrawlConfig, variant: String) =
+        new CrawlEngine(s, PagesGen.fixtures(s), cfg).crawl(seed)
+          .resultsByRound.filter(col("seed") === seed)
+          .select(lit(variant).as("variant"), col("round"), col("url"), col("result_type"))
+      sched(CrawlConfig(roundSeconds = 10.0), "bfs")
+        .unionByName(sched(CrawlConfig(roundSeconds = 10.0, priorityScore = Some("url")), "prio"))
+        .orderBy("variant", "round", "url")
     }),
     "crawl_redirects" -> ((s, _) => {
       val seeds = Seq(s"${PagesGen.host("redirect-target")}/redirect",
@@ -1733,6 +1807,19 @@ object SparkEntry {
     "stream_sessions" -> sessionsSql, // the streaming path must land on the batch answer
     "stream_hourly" -> eventsHourlySql,
     "stream_asof" -> asofJoinSql,
+    // the streamed survivor set ≡ the batch distinct-content set: one row
+    // per distinct text passing the quality gate, all columns text-derived
+    "stream_dedup" ->
+      s"""WITH ${qualityScoreCtes("documents")}
+         |SELECT DISTINCT md5(text) AS content_hash, n_tokens,
+         |       CAST(floor(score * 10000 + 0.5) AS BIGINT) AS q_scaled
+         |FROM qs WHERE score >= 0.3
+         |ORDER BY content_hash""".stripMargin,
+    // collected_things results by type: 4 Crawled + 1 OtherContent +
+    // 1 Redirect (the same rows ctResultValuesSql pins, aggregated)
+    "stream_crawl" ->
+      ("SELECT * FROM (VALUES ('Crawled', 4), ('OtherContent', 1), ('Redirect', 1)) " +
+        "AS t(result_type, n) ORDER BY result_type"),
     "q_event_percentiles" ->
       """SELECT event_type,
         |       round(quantile_cont(value, 0.5), 4) AS p50,
@@ -1778,6 +1865,7 @@ object SparkEntry {
     "crawl_robots_gate" -> robotsGateValuesSql,
     "crawl_snapshot" -> snapshotValuesSql,
     "crawl_snapshot_asof" -> snapshotAsofValuesSql,
+    "crawl_politeness" -> politenessValuesSql,
     "crawl_redirects" -> redirectsValuesSql,
     "url_canonicalize" -> urlCanonValuesSql,
     "http_classify" -> httpClassifyValuesSql,
@@ -1840,6 +1928,20 @@ object SparkEntry {
     val h = PagesGen.host("multi-snapshot")
     s"SELECT * FROM (VALUES (${vs(s"$h/old-only")}, 'Crawled', 0), (${vs(s"$h/start")}, 'Crawled', 1)) " +
       "AS t(url, result_type, n_internal) ORDER BY url"
+  }
+
+  private lazy val politenessValuesSql = {
+    val h = PagesGen.host("politeness")
+    // (variant, round, url): hand-derived schedule — round 1 fetches the
+    // seed (budget 1); round 2 fetches the window winner among {/a, /b};
+    // round 3 fetches the deferred loser. "bfs" ranks (depth, url) asc →
+    // /a wins round 2; "prio" ranks url desc → /b wins round 2.
+    val rows = Seq(
+      ("bfs", 1, s"$h/start"), ("bfs", 2, s"$h/a"), ("bfs", 3, s"$h/b"),
+      ("prio", 1, s"$h/start"), ("prio", 2, s"$h/b"), ("prio", 3, s"$h/a"))
+    val lits = rows.map { case (v, r, u) => s"(${vs(v)}, $r, ${vs(u)}, 'Crawled')" }
+    s"SELECT * FROM (VALUES ${lits.mkString(", ")}) AS t(variant, round, url, result_type) " +
+      "ORDER BY variant, round, url"
   }
 
   private lazy val redirectsValuesSql = {

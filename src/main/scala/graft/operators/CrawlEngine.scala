@@ -721,6 +721,16 @@ final class CrawlRun(
   def results: DataFrame = catalog.readTables(spark,
     (0 to lastRound).map(r => catalog.readSnapshot(checkpointDir, r)), "results_inc")
 
+  /** Result rows tagged with the round that produced them — the checkpoint
+    * lineage (one committed increment per round) surfaced as data. Under a
+    * politeness budget this exposes the fetch SCHEDULE: which round each url
+    * was actually fetched in, after deferrals and priority ranking. */
+  def resultsByRound: DataFrame =
+    (0 to lastRound).map { r =>
+      catalog.readTable(spark, catalog.readSnapshot(checkpointDir, r), "results_inc")
+        .withColumn("round", lit(r))
+    }.reduce(_ unionByName _)
+
   /** Result of one seed's crawl — the reference CrawlResult (crawler.rs:127-135). */
   def resultFor(seed: String): DataFrame = {
     val canonical = UrlKit.canonicalize(seed).getOrElse(seed)

@@ -95,13 +95,135 @@ object TableIO extends TableCatalog {
   override def readTable(spark: SparkSession, snap: Snapshot, name: String): DataFrame =
     spark.read.parquet(snap.tables(name))
 
-  /** Parquet fast path: one multi-path scan instead of a union of reads. */
+  /** Parquet fast path: one multi-path scan instead of a union of reads.
+    * Compaction-aware: a span recorded in the checkpoint's
+    * `compactions.json` supersedes the per-round increment dirs it covers
+    * (see [[compact]]), but ONLY when the requested snapshots fully cover
+    * the span — a subset read (e.g. one round) keeps its per-round path so
+    * substitution can never smuggle in rows from rounds the caller did not
+    * ask for. */
   override def readTables(spark: SparkSession, snaps: Seq[Snapshot], name: String): DataFrame = {
-    val paths = snaps.flatMap(_.tables.get(name))
-    require(paths.nonEmpty,
+    val withPath = snaps.collect { case s if s.tables.contains(name) => (s.round, s.tables(name)) }
+    require(withPath.nonEmpty,
       s"table '$name' is present in none of the ${snaps.size} snapshots")
+    val paths = withPath.groupBy { case (_, p) => checkpointDirOf(p) }.toSeq.sortBy(_._1)
+      .flatMap { case (dir, rps) =>
+        val covered = rps.map(_._1).toSet
+        readCompactions(dir).filter(_.table == name).sortBy(-_.to).headOption match {
+          case Some(c) if (c.from to c.to).forall(covered) =>
+            c.path +: rps.collect { case (r, p) if r > c.to || r < c.from => p }
+          case _ => rps.map(_._2)
+        }
+      }
     spark.read.parquet(paths: _*)
   }
+
+  // ---- compaction (Iceberg rewrite_data_files / expire_snapshots) ---------
+
+  /** One compacted span: rounds [from, to] of `table` rewritten into a
+    * single consolidated parquet dir at `path`. */
+  final case class Compaction(table: String, from: Int, to: Int, path: String)
+
+  /** Rewrites the per-round increments of `table` (rounds 0..upToRound;
+    * default = latest committed) into ONE consolidated parquet dir, then
+    * atomically swaps the checkpoint's `compactions.json` pointer so every
+    * subsequent [[readTables]] scans the consolidated files instead of the
+    * per-round small-file dirs. The long-crawl maintenance job: at the
+    * 10^10-URL scale each round commits another increment dir, so a
+    * T-round crawl's cumulative reads (seen set, results) degrade to
+    * T × shuffle-partitions small files — compaction runs OFF the hot path
+    * and collapses them, exactly Iceberg's `rewrite_data_files`.
+    *
+    * Crash-safe: data lands first, the single-file pointer swap is an
+    * atomic rename, so a crash mid-compaction leaves readers on the old
+    * (still present) files with at worst an orphaned `compact-*` dir.
+    * Re-compacting after further rounds reads old-span + new increments
+    * (the read above is itself compaction-aware) and supersedes the entry.
+    *
+    * `expire = true` additionally deletes the superseded per-round dirs
+    * and any older compacted dir (Iceberg `expire_snapshots`): reclaims
+    * the space but invalidates per-round reads of this table
+    * ([[CrawlRun.resultsByRound]]-style lineage queries and any streaming
+    * tail of the increment glob) — leave it false while consumers tail
+    * the checkpoint. */
+  def compact(spark: SparkSession, dir: String, table: String,
+      upToRound: Int = -1, targetPartitions: Int = 8,
+      expire: Boolean = false): Compaction = {
+    val last =
+      if (upToRound >= 0) upToRound
+      else latestRound(dir).getOrElse(
+        throw new IllegalStateException(s"no committed rounds under $dir"))
+    val snaps = (0 to last).map(readSnapshot(dir, _)).filter(_.tables.contains(table))
+    require(snaps.nonEmpty, s"table '$table' absent from every round 0..$last")
+    val prev = readCompactions(dir)
+    prev.find(c => c.table == table && c.to == last && c.from == 0) match {
+      case Some(existing) => existing // already compacted to this round — no-op
+      case None =>
+        val out = Paths.get(dir, f"compact-$table-r$last%05d").toString
+        // repartition (not coalesce): the maintenance job pays one shuffle
+        // to even out per-file sizes; size targetPartitions to the data at
+        // real scale (bytes / desired file size)
+        readTables(spark, snaps, table)
+          .repartition(targetPartitions).write.mode("overwrite").parquet(out)
+        val entry = Compaction(table, 0, last, out)
+        writeCompactions(dir, prev.filterNot(_.table == table) :+ entry)
+        if (expire) {
+          snaps.foreach(s => deleteRecursively(Paths.get(s.tables(table))))
+          prev.filter(c => c.table == table && c.path != out)
+            .foreach(c => deleteRecursively(Paths.get(c.path)))
+        }
+        entry
+    }
+  }
+
+  private def compactionsPath(dir: String) = Paths.get(dir, "compactions.json")
+
+  def readCompactions(dir: String): Seq[Compaction] = {
+    val p = compactionsPath(dir)
+    if (!Files.exists(p)) return Seq.empty
+    val s = Files.readString(p)
+    val lb = s.indexOf('[')
+    val body = s.substring(lb + 1, s.lastIndexOf(']'))
+    body.split("\\},").toSeq.map(_.trim).filter(_.nonEmpty).map { e =>
+      def f(k: String): String = {
+        val key = "\"" + k + "\":"
+        val i = e.indexOf(key)
+        require(i >= 0, s"missing $k in compactions entry: $e")
+        val rest = e.substring(i + key.length).trim
+        if (rest.startsWith("\"")) rest.drop(1).takeWhile(_ != '"')
+        else rest.takeWhile(c => c.isDigit || c == '-')
+      }
+      Compaction(f("table"), f("from").toInt, f("to").toInt, f("path"))
+    }
+  }
+
+  private def writeCompactions(dir: String, entries: Seq[Compaction]): Unit = {
+    // generated paths/table names carry no JSON-special chars, but escape
+    // anyway — the parser above only needs to survive our own output
+    val json = entries
+      .map(c => s"""{"table":${q(c.table)},"from":${c.from},"to":${c.to},"path":${q(c.path)}}""")
+      .mkString("""{"entries": [""", ", ", "]}")
+    val tmp = Paths.get(dir, ".compactions.json.tmp")
+    Files.writeString(tmp, json)
+    Files.move(tmp, compactionsPath(dir), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** checkpoint dir of a per-round table path `dir/rNNNNN/name` */
+  private def checkpointDirOf(path: String): String = {
+    val p = Paths.get(path).getParent
+    if (p != null && p.getFileName != null && p.getFileName.toString.matches("r\\d{5}")
+        && p.getParent != null) p.getParent.toString
+    else String.valueOf(p)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      val st = Files.walk(p)
+      try st.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { Files.deleteIfExists(f); () })
+      finally st.close()
+    }
 
   // ---- minimal JSON (flat, controlled keys — no library available) --------
 

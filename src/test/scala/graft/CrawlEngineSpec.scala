@@ -388,6 +388,45 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(graft.sources.TableIO.latestRound(dir).contains(lastRound))
   }
 
+  test("compaction: consolidated span reads identically; resume unaffected") {
+    val seed = "http://127.0.0.1:8000/start"
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-").toString
+    val run = new CrawlEngine(spark, pages, CrawlConfig(), dir).crawl(seed)
+    val expected = collectMap(run, seed)
+    assert(run.lastRound >= 2)
+    val entry = graft.sources.TableIO.compact(spark, dir, "results_inc", targetPartitions = 2)
+    assert(entry.from == 0 && entry.to == run.lastRound)
+    assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(entry.path)))
+    // reads resolve through the compacted span — byte-identical result set
+    assert(collectMap(run, seed) == expected)
+    // re-compacting to the same round is a no-op returning the standing entry
+    assert(graft.sources.TableIO.compact(spark, dir, "results_inc") == entry)
+    // an orphaned compact dir from a crashed compaction (data written,
+    // pointer swap never happened) must not perturb reads
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "compact-results_inc-r99999"))
+    assert(collectMap(run, seed) == expected)
+    // the cumulative seen set compacts too, and resume still works
+    graft.sources.TableIO.compact(spark, dir, "seen_inc", targetPartitions = 1)
+    val resumed = new CrawlEngine(spark, pages, CrawlConfig(), dir).resume()
+    assert(resumed.lastRound == run.lastRound)
+    assert(collectMap(resumed, seed) == expected)
+  }
+
+  test("compaction expire reclaims the per-round dirs; reads stay exact") {
+    val seed = s"${PagesGen.host("cycle")}/start"
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-exp-").toString
+    val run = new CrawlEngine(spark, pages, CrawlConfig(), dir).crawl(seed)
+    val expected = collectMap(run, seed)
+    graft.sources.TableIO.compact(spark, dir, "results_inc",
+      targetPartitions = 1, expire = true)
+    val leftover = (0 to run.lastRound)
+      .map(r => java.nio.file.Paths.get(dir, f"r$r%05d", "results_inc"))
+      .filter(java.nio.file.Files.exists(_))
+    assert(leftover.isEmpty, s"expire left per-round dirs: $leftover")
+    assert(collectMap(run, seed) == expected)
+  }
+
   test("resume preserves failed seeds: CrawlFailedException survives the restart") {
     val bad = s"${PagesGen.host("robots-failure")}/start"
     val good = s"${PagesGen.host("cycle")}/start"
