@@ -128,6 +128,59 @@ object ScalingBench {
         sys.exit(3)
       }
 
+    case "compaction" :: cpusStr :: nStr :: Nil =>
+      // Long-crawl small-file maintenance at scale: a crawl commits one
+      // results/seen increment dir per round (R rounds × P shuffle
+      // partitions of files), so cumulative reads degrade with crawl
+      // length. Measures the full-scan read before vs after
+      // TableIO.compact (file counts + wall time + the one-off compaction
+      // cost) and asserts the consolidated read returns the IDENTICAL
+      // result set (count + order-free xxhash64 digest).
+      val cpus = cpusStr.toInt
+      val n = nStr.toLong
+      val s = Bench.buildSession(cpus, s"graft-compaction-$cpus")
+      import org.apache.spark.sql.functions.{count, lit, expr => sqlExpr}
+      Bench.crawlBench(s, warmDir, warmN, hosts) // warm JIT untimed
+      val spec = graft.sources.PagesGen.ScaleSpec(n, hosts)
+      val cfg = graft.operators.CrawlConfig(bloomMinSeen = 50000,
+        bloomExpectedInsertions = math.max(4L * 1000 * 1000, n + n / 5))
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-compaction-").toString
+      val run = new graft.operators.CrawlEngine(s, s.read.parquet(pagesDir(n)), cfg, ckpt)
+        .crawlAll(spec.seeds)
+      def digest(): (Long, Long) = {
+        val r = run.results
+          .agg(count(lit(1)), sqlExpr("bit_xor(xxhash64(seed, url, result_type))")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      // files the results read actually scans: per-round increment dirs
+      // before, the single consolidated dir after
+      def parquetFiles(sub: String): Long = {
+        val st = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+        try st.filter(p => p.toString.endsWith(".parquet") && p.toString.contains(sub)).count()
+        finally st.close()
+      }
+      def timed[T](f: => T): (T, Double) = {
+        val t0 = System.nanoTime(); val v = f; (v, (System.nanoTime() - t0) / 1e9)
+      }
+      timed(digest()) // warm the read path untimed
+      val (before, tBefore) = timed(digest())
+      val filesBefore = parquetFiles("results_inc")
+      val (_, tCompact) = timed {
+        graft.sources.TableIO.compact(s, ckpt, "results_inc", targetPartitions = cpus)
+        graft.sources.TableIO.compact(s, ckpt, "seen_inc", targetPartitions = cpus)
+      }
+      val (after, tAfter) = timed(digest())
+      val filesAfter = parquetFiles(f"compact-results_inc-r${run.lastRound}%05d")
+      s.stop()
+      val equal = before == after
+      println(
+        s"""{"metric":"compaction","cpus":$cpus,"n":$n,"rounds":${run.lastRound},""" +
+        s""""files_before":$filesBefore,"files_after":$filesAfter,""" +
+        s""""read_before_sec":${f"$tBefore%.2f"},"read_after_sec":${f"$tAfter%.2f"},""" +
+        s""""compact_sec":${f"$tCompact%.2f"},"rows":${before._1},"digest_equal":$equal}""")
+      if (!equal) { System.err.println(s"[compaction] DIGEST MISMATCH $before vs $after"); sys.exit(3) }
+      deleteRec(ckpt)
+
     case "kernel" :: cpusStr :: nStr :: Nil =>
       // Isolated Spark kernel: parquet scan → classify → tokenize+extract
       // (the crawl's CPU-heavy stage) with NO checkpoint writes — separates
@@ -938,3 +991,5 @@ object ScalingBench {
       sys.exit(2)
   }
 }
+
+

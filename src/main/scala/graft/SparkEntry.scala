@@ -1213,6 +1213,32 @@ object SparkEntry {
           round(expr("percentile(value, 0.95)"), 4).as("p95"),
           round(expr("percentile(value, 0.99)"), 4).as("p99"))
         .orderBy("event_type")),
+    // sketch-based distinct counting (HLL++, rsd 2%) — the 100 TB tool for
+    // "how many distinct users/urls" with constant-size partial aggregates
+    // instead of shuffling the full key set. The gate emits the EXACT
+    // count (oracled) plus a 5%-band check on the sketch estimate; HLL++
+    // is a pure function of the value set, so the verdict is deterministic
+    "q_approx_distinct" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"),
+          approx_count_distinct(col("user_id"), 0.02).as("n_approx"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("n_approx") - col("n_exact")) <= col("n_exact") * 0.05).as("approx_ok"))
+        .orderBy("event_type")),
+    // sketch quantiles (approx_percentile, accuracy 10k) gated by RANK:
+    // the sketch's p-th estimate must land between the exact percentiles
+    // at p±0.01 (computed in the same aggregate) — a semantic bound that
+    // needs no float in the gate output
+    "q_approx_percentiles" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy("event_type")
+        .agg(expr("approx_percentile(value, array(0.5, 0.95), 10000)").as("ap"),
+          expr("percentile(value, array(0.49, 0.51, 0.94, 0.96))").as("ex"))
+        .select(col("event_type"),
+          (col("ap")(0) >= col("ex")(0) && col("ap")(0) <= col("ex")(1)).as("p50_ok"),
+          (col("ap")(1) >= col("ex")(2) && col("ap")(1) <= col("ex")(3)).as("p95_ok"))
+        .orderBy("event_type")),
     // batch sessionization (gaps-and-islands, 30-min gap) — integer-µs
     // arithmetic both sides, so the oracle match is exact
     "q_sessions" -> ((s, dir) =>
@@ -1820,6 +1846,14 @@ object SparkEntry {
     "stream_crawl" ->
       ("SELECT * FROM (VALUES ('Crawled', 4), ('OtherContent', 1), ('Redirect', 1)) " +
         "AS t(result_type, n) ORDER BY result_type"),
+    "q_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact, true AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the booleans are Spark-side verdicts (sketch vs exact rank band);
+    // the oracle pins the group set and that every verdict holds
+    "q_approx_percentiles" ->
+      """SELECT event_type, true AS p50_ok, true AS p95_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_event_percentiles" ->
       """SELECT event_type,
         |       round(quantile_cont(value, 0.5), 4) AS p50,
