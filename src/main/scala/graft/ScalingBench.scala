@@ -170,7 +170,7 @@ object ScalingBench {
         graft.sources.TableIO.compact(s, ckpt, "seen_inc", targetPartitions = cpus)
       }
       val (after, tAfter) = timed(digest())
-      val filesAfter = parquetFiles(f"compact-results_inc-r${run.lastRound}%05d")
+      val filesAfter = parquetFiles("compact-results_inc-r")
       s.stop()
       val equal = before == after
       println(

@@ -109,11 +109,12 @@ object TableIO extends TableCatalog {
     val paths = withPath.groupBy { case (_, p) => checkpointDirOf(p) }.toSeq.sortBy(_._1)
       .flatMap { case (dir, rps) =>
         val covered = rps.map(_._1).toSet
-        readCompactions(dir).filter(_.table == name).sortBy(-_.to).headOption match {
-          case Some(c) if (c.from to c.to).forall(covered) =>
-            c.path +: rps.collect { case (r, p) if r > c.to || r < c.from => p }
-          case _ => rps.map(_._2)
-        }
+        // spans are non-overlapping by construction; substitute each span
+        // the requested rounds fully cover, keep per-round paths elsewhere
+        val spans = readCompactions(dir)
+          .filter(c => c.table == name && (c.from to c.to).forall(covered))
+        val inSpan = spans.flatMap(c => c.from to c.to).toSet
+        spans.map(_.path) ++ rps.collect { case (r, p) if !inSpan(r) => p }
       }
     spark.read.parquet(paths: _*)
   }
@@ -140,6 +141,11 @@ object TableIO extends TableCatalog {
     * Re-compacting after further rounds reads old-span + new increments
     * (the read above is itself compaction-aware) and supersedes the entry.
     *
+    * `incremental = true` folds only the rounds PAST the standing spans
+    * into a new span (maintenance cost ∝ increment, LSM-segment style) —
+    * run it periodically during a long crawl; the default full mode merges
+    * everything into one [0, last] span (the occasional major compaction).
+    *
     * `expire = true` additionally deletes the superseded per-round dirs
     * and any older compacted dir (Iceberg `expire_snapshots`): reclaims
     * the space but invalidates per-round reads of this table
@@ -148,28 +154,40 @@ object TableIO extends TableCatalog {
     * the checkpoint. */
   def compact(spark: SparkSession, dir: String, table: String,
       upToRound: Int = -1, targetPartitions: Int = 8,
-      expire: Boolean = false): Compaction = {
+      expire: Boolean = false, incremental: Boolean = false): Compaction = {
     val last =
       if (upToRound >= 0) upToRound
       else latestRound(dir).getOrElse(
         throw new IllegalStateException(s"no committed rounds under $dir"))
-    val snaps = (0 to last).map(readSnapshot(dir, _)).filter(_.tables.contains(table))
-    require(snaps.nonEmpty, s"table '$table' absent from every round 0..$last")
     val prev = readCompactions(dir)
-    prev.find(c => c.table == table && c.to == last && c.from == 0) match {
-      case Some(existing) => existing // already compacted to this round — no-op
+    val mine = prev.filter(_.table == table)
+    // incremental: fold only the rounds past the standing spans into a NEW
+    // span (cost ∝ increment, like an LSM segment flush) — a long crawl's
+    // periodic maintenance. Full (default): merge spans + tail into one
+    // [0, last] span (the occasional major compaction). Spans stay
+    // contiguous-from-0 and non-overlapping by construction.
+    val from = if (incremental) mine.map(_.to + 1).maxOption.getOrElse(0) else 0
+    if (incremental && from > last) return mine.maxBy(_.to) // nothing new — no-op
+    mine.find(c => c.from == from && c.to == last) match {
+      case Some(existing) => existing // this exact span already stands — no-op
       case None =>
-        val out = Paths.get(dir, f"compact-$table-r$last%05d").toString
+        val snaps = (from to last).map(readSnapshot(dir, _)).filter(_.tables.contains(table))
+        require(snaps.nonEmpty, s"table '$table' absent from every round $from..$last")
+        val out = Paths.get(dir, f"compact-$table-r$from%05d-$last%05d").toString
         // repartition (not coalesce): the maintenance job pays one shuffle
         // to even out per-file sizes; size targetPartitions to the data at
-        // real scale (bytes / desired file size)
+        // real scale (bytes / desired file size). Full mode's read resolves
+        // through the standing spans (readTables is compaction-aware);
+        // incremental mode's rounds sit outside every span, so it scans the
+        // per-round tail directly.
         readTables(spark, snaps, table)
           .repartition(targetPartitions).write.mode("overwrite").parquet(out)
-        val entry = Compaction(table, 0, last, out)
-        writeCompactions(dir, prev.filterNot(_.table == table) :+ entry)
+        val entry = Compaction(table, from, last, out)
+        val keep = if (incremental) prev else prev.filterNot(_.table == table)
+        writeCompactions(dir, keep :+ entry)
         if (expire) {
           snaps.foreach(s => deleteRecursively(Paths.get(s.tables(table))))
-          prev.filter(c => c.table == table && c.path != out)
+          if (!incremental) mine.filter(_.path != out)
             .foreach(c => deleteRecursively(Paths.get(c.path)))
         }
         entry

@@ -413,6 +413,37 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(collectMap(resumed, seed) == expected)
   }
 
+  test("incremental compaction: spans fold only the new rounds; major merge supersedes") {
+    val seed = "http://127.0.0.1:8000/start"
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-inc-").toString
+    val run = new CrawlEngine(spark, pages, CrawlConfig(), dir).crawl(seed)
+    val expected = collectMap(run, seed)
+    assert(run.lastRound >= 2)
+    val io = graft.sources.TableIO
+    // first incremental span covers [0, 1] (nothing stands yet)
+    val s1 = io.compact(spark, dir, "results_inc", upToRound = 1,
+      targetPartitions = 1, incremental = true)
+    assert(s1.from == 0 && s1.to == 1)
+    assert(collectMap(run, seed) == expected)
+    // second incremental span folds ONLY the tail [2, last]
+    val s2 = io.compact(spark, dir, "results_inc",
+      targetPartitions = 1, incremental = true)
+    assert(s2.from == 2 && s2.to == run.lastRound)
+    assert(io.readCompactions(dir).count(_.table == "results_inc") == 2)
+    assert(collectMap(run, seed) == expected)
+    // fully-covered table: another incremental call is a no-op on the span set
+    assert(io.compact(spark, dir, "results_inc", incremental = true) == s2)
+    // major compaction merges both spans into one [0, last] and supersedes;
+    // expire reclaims the old span dirs and the per-round dirs
+    val full = io.compact(spark, dir, "results_inc",
+      targetPartitions = 1, expire = true)
+    assert(full.from == 0 && full.to == run.lastRound)
+    assert(io.readCompactions(dir).filter(_.table == "results_inc") == Seq(full))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s1.path)))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s2.path)))
+    assert(collectMap(run, seed) == expected)
+  }
+
   test("compaction expire reclaims the per-round dirs; reads stay exact") {
     val seed = s"${PagesGen.host("cycle")}/start"
     val dir = java.nio.file.Files.createTempDirectory("graft-compact-exp-").toString
