@@ -1213,6 +1213,18 @@ object SparkEntry {
           round(expr("percentile(value, 0.95)"), 4).as("p95"),
           round(expr("percentile(value, 0.99)"), 4).as("p99"))
         .orderBy("event_type")),
+    // benchmark decontamination: docs with doc_id % 97 == 0 play the eval
+    // suite; every other doc sharing a 4-gram with it is flagged with its
+    // distinct-gram hit count (k = 4 so the synthetic corpus actually
+    // contains overlaps at both SFs — 8 rows sf0.01 / 727 sf0.1; the
+    // operator default is the conventional 13)
+    "corpus_decontaminate" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.decontaminate(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0), k = 4)
+        .orderBy("doc_id")
+    }),
     // sketch-based distinct counting (HLL++, rsd 2%) — the 100 TB tool for
     // "how many distinct users/urls" with constant-size partial aggregates
     // instead of shuffling the full key set. The gate emits the EXACT
@@ -1846,6 +1858,20 @@ object SparkEntry {
     "stream_crawl" ->
       ("SELECT * FROM (VALUES ('Crawled', 4), ('OtherContent', 1), ('Redirect', 1)) " +
         "AS t(result_type, n) ORDER BY result_type"),
+    "corpus_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CASE WHEN trim(text)='' THEN [] ELSE string_split_regex(trim(text),'\s+') END AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, u.g FROM (
+        |    SELECT doc_id, CASE WHEN len(t)=0 THEN []
+        |       WHEN len(t) < 4 THEN [array_to_string(t,' ')]
+        |       ELSE list_transform(range(1, len(t)-2), i -> array_to_string(t[i:i+3], ' ')) END AS gs
+        |    FROM toks), UNNEST(gs) AS u(g)
+        |  GROUP BY doc_id, g),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+        |SELECT doc_id, count(*) AS n_hits FROM grams JOIN bench USING (g)
+        |WHERE doc_id % 97 <> 0 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact, true AS approx_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -298,7 +298,7 @@ object Dedup {
     * both exact joins so the tokenization/fallback semantics (which the
     * DuckDB oracles and TextKit.shingleHashes mirror) live in one place.
     * NOT persisted here — callers cache and release it (round-2 ADVICE). */
-  private[operators] def hashedGrams(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+  private[operators] def rawGrams(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
     val gramsUdf = udf { (text: String) =>
       val toks = TextKit.wsTokens(Option(text).getOrElse(""))
       if (toks.isEmpty) Array.empty[String]
@@ -306,7 +306,35 @@ object Dedup {
       else (0 to toks.length - k).map(i => toks.slice(i, i + k).mkString(" ")).distinct.toArray
     }
     docs.select(col(idCol).as("id"), explode(gramsUdf(col(textCol))).as("g"))
-      .select(col("id"), xxhash64(col("g")).as("gh"))
+  }
+
+  private[operators] def hashedGrams(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
+    rawGrams(docs, textCol, idCol, k).select(col("id"), xxhash64(col("g")).as("gh"))
+
+  /**
+   * Benchmark decontamination (the GPT-3-style eval-overlap filter): flag
+   * every corpus doc sharing at least one word-k-gram with the benchmark
+   * set, returning (idCol, n_hits) where n_hits counts the doc's DISTINCT
+   * grams that appear anywhere in the benchmark. Downstream drops or
+   * audits the flagged docs before training.
+   *
+   * Scale shape: an eval suite is KBs–MBs while the corpus is TBs, so the
+   * benchmark's distinct grams broadcast and the corpus side is a map-side
+   * broadcast semi-join + one groupBy on the (already contaminated-only)
+   * doc ids — the corpus never shuffles its gram set. The join matches on
+   * the raw gram STRING: no hash-collision false positives, and the
+   * broadcast stays small because it is the benchmark, not the corpus.
+   * Tokenization/short-doc fallback semantics are [[rawGrams]]'s — the
+   * same ones every n-gram oracle mirrors.
+   */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id", k: Int = 13): DataFrame = {
+    val benchGrams = rawGrams(benchmark, textCol, idCol, k).select("g").distinct()
+    rawGrams(docs, textCol, idCol, k)
+      .join(broadcast(benchGrams), Seq("g"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("id").as(idCol), col("n_hits"))
   }
 
   /**

@@ -39,6 +39,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(Dedup.exactSurvivors(docs).count() == docs.count())
   }
 
+  test("decontaminate flags corpus docs sharing k-grams with the benchmark") {
+    // benchmark = docs 0 and 3; corpus = the rest. k=5 word-grams.
+    val bench = crafted.filter(col("doc_id").isin(0L, 3L))
+    val corpus = crafted.filter(!col("doc_id").isin(0L, 3L))
+    val hits = Dedup.decontaminate(corpus, bench, k = 5).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hits")).toMap
+    // doc 1 is an exact dup of 0: all 10 of its distinct 5-grams hit.
+    // doc 2 differs only in the last token: the single gram containing it misses.
+    // doc 4 appends one token to doc 3 (9 tokens -> 5 benchmark grams): the
+    // one gram containing "ok" misses, the other 5 hit.
+    assert(hits == Map(1L -> 10L, 2L -> 9L, 4L -> 5L))
+    // clean docs are absent, not zero-flagged
+    assert(!hits.contains(5L))
+    // short-doc fallback: a <k-token benchmark doc matches only its exact text
+    val shortBench = Seq((100L, "tiny eval prompt")).toDF("doc_id", "text")
+    val shortCorpus = Seq((200L, "tiny eval prompt"), (201L, "tiny eval prompts")).toDF("doc_id", "text")
+    val shortHits = Dedup.decontaminate(shortCorpus, shortBench, k = 5).collect()
+      .map(r => r.getAs[Long]("doc_id")).toSet
+    assert(shortHits == Set(200L))
+  }
+
   test("minhash estimates approximate true jaccard") {
     val a = TextKit.shingleHashes("the quick brown fox jumps over the lazy dog and runs far away tonight", 3)
     val b = TextKit.shingleHashes("the quick brown fox jumps over the lazy dog and runs far away today", 3)
