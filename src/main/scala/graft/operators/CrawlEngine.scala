@@ -482,7 +482,14 @@ final class CrawlEngine(
     var round = startRound
     var emptyFrontier = frontierCount == 0
 
+    // Optional per-round phase telemetry (SPARK_GRAFT_ROUND_LOG=1): wall
+    // seconds spent in each driver-visible phase, to stderr. Used to locate
+    // the serial (non-scaling) fraction of a crawl round.
+    val roundLog = sys.env.contains("SPARK_GRAFT_ROUND_LOG")
+    def tickSec(t0: Long): Double = (System.nanoTime() - t0) / 1e9
+
     while (!emptyFrontier && round < startRound + cfg.maxRounds) {
+      val tRound = System.nanoTime()
       sc.setJobDescription(
         s"crawl round=$round seeds=${seeds.size} frontier=$frontierCount seen=$seenCount")
       // ---- politeness: per-host rank within each crawl ----
@@ -638,8 +645,10 @@ final class CrawlEngine(
       val seenInc = newUrls.select("seed", "url")
 
       // ---- commit (counters evaluated after the data writes land) ----
+      val tPlan = tickSec(tRound) // plan assembly + politeness count job
       var counters: RoundCounters = null
       val fetched = frontierCount - deferredCount
+      val tCommit0 = System.nanoTime()
       val snap = catalog.commit(spark, ckptDir, round,
         Map("frontier" -> nextFrontier, "seen_inc" -> seenInc, "results_inc" -> resultsRound),
         seeds, counters = {
@@ -656,22 +665,33 @@ final class CrawlEngine(
         }, partitionBy = Map("frontier" -> Seq("host_shard")))
       val newCount = obsNew.get("n").asInstanceOf[Long]
       val newFrontierCount = obsFrontier.get("n").asInstanceOf[Long]
+      val tCommit = tickSec(tCommit0)
 
       // frontier and seen are re-read from the committed parquet: constant-
       // depth, disk-backed lineage regardless of round count (without this
       // the plan tree grows exponentially with rounds)
+      val tRead0 = System.nanoTime()
       val committedFrontier = catalog.readTable(spark, snap, "frontier")
       val newSeen = catalog.readTables(spark, seenIncSnaps(round), "seen_inc")
+      val tRead = tickSec(tRead0)
 
       // ---- bloom maintenance ----
+      val tBloom0 = System.nanoTime()
       if (bloom != null && newCount > 0) bloomInsert(newUrlsCached.toDF(), newCount)
+      val tBloom = tickSec(tBloom0)
 
       // ---- bucketed-seen maintenance: append the committed increment ----
+      val tSeen0 = System.nanoTime()
       if (newCount > 0) seenTable.foreach { name =>
         catalog.readTable(spark, snap, "seen_inc").select("seed", "url")
           .write.format("parquet").mode("append")
           .bucketBy(cfg.seenBuckets, "seed", "url").saveAsTable(name)
       }
+      val tSeenApp = tickSec(tSeen0)
+      if (roundLog) System.err.println(
+        f"[round] r=$round%2d frontier=$frontierCount%8d plan=$tPlan%6.2fs " +
+          f"commit=$tCommit%6.2fs read=$tRead%5.2fs bloom=$tBloom%5.2fs " +
+          f"seenApp=$tSeenApp%5.2fs total=${tickSec(tRound)}%6.2fs")
 
       // ---- rotate state ----
       stepOut.unpersist()

@@ -48,7 +48,7 @@ object TableIO extends TableCatalog {
       failures: Map[String, String]
   ): Snapshot = {
     Files.createDirectories(Paths.get(dir))
-    val paths = tables.map { case (name, df) =>
+    def writeOne(name: String, df: DataFrame): (String, String) = {
       val p = Paths.get(dir, f"r$round%05d", name).toString
       // physical per-partition lineage: e.g. frontier written as
       // host_shard=K subdirectories (north rule: lineage = seed, round,
@@ -68,6 +68,27 @@ object TableIO extends TableCatalog {
       }
       name -> p
     }
+    // The per-round tables are written CONCURRENTLY (one thread per table):
+    // each write is an independent Spark job, and running them together
+    // overlaps their scheduling gaps and straggler tails instead of paying
+    // them serially once per table per round. Shared upstream frames are
+    // persisted by the caller, and Spark's BlockManager computes a cached
+    // partition exactly once under concurrent demand (per-block locks), so
+    // the three jobs co-compute the round, never re-compute it. Commit
+    // semantics are unchanged: ALL data writes land (Await below) before
+    // the manifest rename makes any of them visible.
+    val paths =
+      if (tables.size <= 1) tables.map { case (n, df) => writeOne(n, df) }
+      else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(tables.size)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+        try Await.result(
+          Future.sequence(tables.toSeq.map { case (n, df) => Future(writeOne(n, df)) }),
+          Duration.Inf).toMap
+        finally pool.shutdown()
+      }
     val snap = Snapshot(round, round - 1, seeds, counters, paths, failures)
     val json = renderJson(snap)
     val tmp = Paths.get(dir, f".manifest-r$round%05d.json.tmp")
