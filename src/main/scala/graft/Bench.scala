@@ -75,7 +75,8 @@ object Bench {
     }.orNull
     val cfg = CrawlConfig(bloomMinSeen = 50000,
       bloomExpectedInsertions = math.max(4L * 1000 * 1000, n + n / 5),
-      seenBuckets = sys.env.getOrElse("SPARK_GRAFT_SEEN_BUCKETS", "0").toInt)
+      seenBuckets = sys.env.getOrElse("SPARK_GRAFT_SEEN_BUCKETS", "0").toInt,
+      seenFilterKind = sys.env.getOrElse("SPARK_GRAFT_SEEN_FILTER", "bloom"))
     val t0 = System.nanoTime()
     val run = new CrawlEngine(spark, pages, cfg, checkpointDir = ckptDir).crawlAll(spec.seeds)
     val sec = (System.nanoTime() - t0) / 1e9

@@ -586,6 +586,38 @@ object SparkEntry {
        |SELECT doc_id, len(bg) AS n_bigrams, len(list_distinct(bg)) AS n_distinct
        |FROM b ORDER BY doc_id""".stripMargin
 
+  /** Shared Spark/DuckDB SQL fragment injecting deterministic PII into the
+    * documents text (every 3rd doc gains an email + IPv4 + phone, every 6th
+    * a second email; the rest stay clean) so the scrub operator has known,
+    * varied work. The literal runs unchanged on both engines — `||` concat,
+    * CASE, and cast-to-string are common dialect. */
+  private val piiInjectExpr =
+    """CASE WHEN doc_id % 3 = 0
+      | THEN text || ' u' || cast(doc_id AS string) || '@ex' || cast(doc_id % 7 AS string)
+      |      || '.org ip 10.' || cast(doc_id % 256 AS string) || '.0.' || cast(doc_id % 100 AS string)
+      |      || ' tel +44 20 7946-0958'
+      |      || (CASE WHEN doc_id % 6 = 0 THEN ' cc a.b+c@mail.co' ELSE '' END)
+      | ELSE text END""".stripMargin
+
+  /** Independent DuckDB re-implementation of the PII scrub: same injected
+    * input, same pattern literals (TextAnalysis.EmailRe/Ipv4Re/PhoneRe —
+    * java.regex ∩ RE2 subset), same fixed email → IPv4 → phone order with
+    * counts taken on the text as each stage sees it. */
+  private lazy val piiScrubSql = {
+    val (e, i, p) = (TextAnalysis.EmailRe, TextAnalysis.Ipv4Re, TextAnalysis.PhoneRe)
+    // flatten to one line BEFORE interpolating into the outer stripMargin
+    // string — otherwise the `||` operators at line starts lose a pipe
+    val inject = piiInjectExpr.linesIterator.map(_.trim).mkString(" ")
+    s"""WITH inj AS (SELECT doc_id, $inject AS t FROM documents),
+       |s1 AS (SELECT doc_id, cast(len(regexp_extract_all(t, '$e')) AS bigint) AS n_emails,
+       |       regexp_replace(t, '$e', '<EMAIL>', 'g') AS t1 FROM inj),
+       |s2 AS (SELECT doc_id, n_emails, cast(len(regexp_extract_all(t1, '$i')) AS bigint) AS n_ipv4,
+       |       regexp_replace(t1, '$i', '<IP>', 'g') AS t2 FROM s1),
+       |s3 AS (SELECT doc_id, n_emails, n_ipv4, cast(len(regexp_extract_all(t2, '$p')) AS bigint) AS n_phones,
+       |       regexp_replace(t2, '$p', '<PHONE>', 'g') AS clean_text FROM s2)
+       |SELECT doc_id, clean_text, n_emails, n_ipv4, n_phones FROM s3 ORDER BY doc_id""".stripMargin
+  }
+
   /**
    * Fused corpus pipeline with the ExactSubstr stage: quality filter
    * (round4 score ≥ 0.76) → exact-dedup survivors → duplicated-span strip
@@ -1559,6 +1591,12 @@ object SparkEntry {
       TextAnalysis.repetitionRatio(s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), col("n_bigrams"), col("n_distinct"))
         .orderBy("doc_id")),
+    // PII scrub over documents with deterministically injected emails /
+    // IPv4s / phones (piiInjectExpr — same literal runs in the oracle)
+    "text_pii_scrub" -> ((s, dir) =>
+      TextAnalysis.piiScrub(
+        s.read.parquet(s"$dir/documents.parquet").withColumn("text", expr(piiInjectExpr)))
+        .orderBy("doc_id")),
     // per-language corpus report (composes lang-id + quality in one map
     // pass; the oracle re-joins its own lang-id and quality subqueries).
     // Gate projection is the INTEGRAL five columns; doc_share/mean_quality
@@ -1675,6 +1713,17 @@ object SparkEntry {
     // ---- crawl engine (fixture pages table; VALUES oracles) ----
     "crawl_result" -> ((s, _) =>
       crawlRun(s, CT).resultFor(CT)
+        .select(col("url"), col("result_type"), col("status"), col("location"),
+          col("content_type"), size(col("internal_links")).as("n_internal"),
+          size(col("external_links")).as("n_external"))
+        .orderBy("url")),
+    // same crawl through the cuckoo seen filter, forced on from round 0
+    // (bloomMinSeen=0) so the maybe-seen/definitely-new split actually
+    // routes urls — pinned to the same golden VALUES as crawl_result
+    "crawl_result_cuckoo" -> ((s, _) =>
+      new CrawlEngine(s, PagesGen.fixtures(s),
+        CrawlConfig(seenFilterKind = "cuckoo", bloomMinSeen = 0)).crawl(CT)
+        .resultFor(CT)
         .select(col("url"), col("result_type"), col("status"), col("location"),
           col("content_type"), size(col("internal_links")).as("n_internal"),
           size(col("external_links")).as("n_external"))
@@ -1824,6 +1873,7 @@ object SparkEntry {
     "text_fingerprint" -> fingerprintSql,
     "text_dup_ngram_ratio" -> dupNgramRatioSql,
     "text_repetition_ratio" -> repetitionRatioSql,
+    "text_pii_scrub" -> piiScrubSql,
     "text_corpus_stats" -> corpusStatsSql,
     "text_top_ngrams" ->
       """WITH t AS (SELECT CASE WHEN trim(text)='' THEN []
@@ -1913,6 +1963,7 @@ object SparkEntry {
         |) AS t(doc_id, media_format, width, height, ok) ORDER BY doc_id""".stripMargin,
     // ---- crawl fixtures: hand-derived golden VALUES (integration.rs etc.)
     "crawl_result" -> ctResultValuesSql,
+    "crawl_result_cuckoo" -> ctResultValuesSql,
     "crawl_links" -> ctLinksValuesSql,
     "crawl_list" -> ctListValuesSql,
     "crawl_count" ->

@@ -62,6 +62,11 @@ final case class CrawlConfig(
       * fixed per-task filter cost amortizes over millions of rows per task,
       * and the driver never materializes the hash column) */
     bloomDistributedMinRows: Long = 4L * 1000 * 1000,
+    /** which approximate seen pre-filter to maintain: "bloom" (insert-only,
+      * space-optimal at the configured fpp) or "cuckoo" (deletable, 16-bit
+      * fingerprints → ~1.2e-4 FPR, ~3.5× the bits; north rule names both).
+      * The bloom* sizing fields apply to either; cuckoo ignores bloomFpp. */
+    seenFilterKind: String = "bloom",
     /** >0: maintain `seen` as a (seed, url)-bucketed managed table so the
       * per-round anti-join never re-shuffles the cumulative seen side —
       * the shuffle that dominates once seen ≫ round size (the 10^10-URL
@@ -441,30 +446,34 @@ final class CrawlEngine(
         Some(name)
       }
 
-    // Cumulative Bloom over (seed, url) keys, rebuilt from seen on entry.
-    // Two maintenance paths, gated by cfg.bloomDistributedMinRows:
+    // Cumulative seen filter (Bloom or cuckoo per cfg.seenFilterKind) over
+    // (seed, url) keys, rebuilt from seen on entry. Two maintenance paths,
+    // gated by cfg.bloomDistributedMinRows:
     //  - small increments: COMPACT 64-bit hashes (xxhash64, computed in the
     //    plan, codegen'd) collected and inserted driver-side -- below the
     //    threshold the fixed per-task cost of shipping filter partials
     //    dominates (measured to anti-scale with core count at sandbox sizes);
     //  - large increments (the 10^10-frontier scale path): per-partition
-    //    BloomFilter build merged via treeAggregate over the same hash
-    //    column. The zero value is null (not an empty multi-MB filter), so
-    //    nothing heavy rides the task binaries; partials are created lazily
-    //    on the first row of each partition and merged in a 2-level tree,
-    //    so the driver receives O(sqrt(P)) partials, not P.
-    // Exactness never depends on this: the anti-join against `seen` stays.
-    var bloom: BloomFilter = null
+    //    filter build merged via treeAggregate over the same hash column.
+    //    The zero value is null (not an empty multi-MB filter), so nothing
+    //    heavy rides the task binaries; partials are created lazily on the
+    //    first row of each partition and merged in a 2-level tree, so the
+    //    driver receives O(sqrt(P)) partials, not P.
+    // Exactness never depends on this: the anti-join against `seen` stays
+    // (which is also what makes a full cuckoo filter's degrade-to-maybe
+    // overflow contract safe).
+    var seenFilter: SeenFilter = null
+    val mkFilter = SeenFilter.factory(
+      cfg.seenFilterKind, cfg.bloomExpectedInsertions, cfg.bloomFpp)
     def keyHashCol = xxhash64(concat_ws("\u0001", col("seed"), col("url")))
-    def bloomInsert(df: DataFrame, rowsHint: Long): Unit = {
-      if (bloom == null) bloom = BloomFilter.create(cfg.bloomExpectedInsertions, cfg.bloomFpp)
+    def filterInsert(df: DataFrame, rowsHint: Long): Unit = {
+      if (seenFilter == null) seenFilter = mkFilter()
       val hashes = df.select(keyHashCol.as("h")).as[Long]
       if (rowsHint >= cfg.bloomDistributedMinRows) {
-        val expected = cfg.bloomExpectedInsertions
-        val fpp = cfg.bloomFpp
-        val merged = hashes.rdd.treeAggregate(null: BloomFilter)(
-          seqOp = (bf, h) => {
-            val b = if (bf == null) BloomFilter.create(expected, fpp) else bf
+        val mk = mkFilter
+        val merged = hashes.rdd.treeAggregate(null: SeenFilter)(
+          seqOp = (sf, h) => {
+            val b = if (sf == null) mk() else sf
             b.putLong(h)
             b
           },
@@ -473,9 +482,9 @@ final class CrawlEngine(
             else if (b == null) a
             else { a.mergeInPlace(b); a },
           depth = 2)
-        if (merged != null) bloom.mergeInPlace(merged)
+        if (merged != null) seenFilter.mergeInPlace(merged)
       } else {
-        hashes.collect().foreach(bloom.putLong)
+        hashes.collect().foreach(seenFilter.putLong)
       }
     }
 
@@ -595,11 +604,11 @@ final class CrawlEngine(
         .persist(StorageLevel.MEMORY_AND_DISK)
       val cand = candCached.observe(obsCand, count(lit(1)).as("n"))
 
-      if (bloom == null && seenCount >= cfg.bloomMinSeen) bloomInsert(seen, seenCount)
+      if (seenFilter == null && seenCount >= cfg.bloomMinSeen) filterInsert(seen, seenCount)
       val newUrlsCached = {
-        if (bloom != null) {
-          val bloomBc = sc.broadcast(bloom)
-          val mightContain = udf((h: Long) => bloomBc.value.mightContainLong(h))
+        if (seenFilter != null) {
+          val filterBc = sc.broadcast(seenFilter)
+          val mightContain = udf((h: Long) => filterBc.value.mightContainLong(h))
           val keyed = cand.withColumn("_h", keyHashCol)
           val maybeSeen = keyed.filter(mightContain(col("_h"))).drop("_h")
           val definitelyNew = keyed.filter(!mightContain(col("_h"))).drop("_h")
@@ -675,9 +684,9 @@ final class CrawlEngine(
       val newSeen = catalog.readTables(spark, seenIncSnaps(round), "seen_inc")
       val tRead = tickSec(tRead0)
 
-      // ---- bloom maintenance ----
+      // ---- seen-filter maintenance ----
       val tBloom0 = System.nanoTime()
-      if (bloom != null && newCount > 0) bloomInsert(newUrlsCached.toDF(), newCount)
+      if (seenFilter != null && newCount > 0) filterInsert(newUrlsCached.toDF(), newCount)
       val tBloom = tickSec(tBloom0)
 
       // ---- bucketed-seen maintenance: append the committed increment ----

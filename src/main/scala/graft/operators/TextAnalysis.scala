@@ -175,4 +175,41 @@ object TextAnalysis {
         when(col("n_bigrams") === 0, lit(0.0))
           .otherwise(lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams")))
   }
+
+  /** PII patterns, restricted to the java.util.regex ∩ RE2 common subset
+    * (no lookaround, no backreferences, ASCII classes only) so the literal
+    * pattern text evaluates identically on Spark and the DuckDB oracle. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\+[0-9]{1,3}[ -][0-9]{2,4}[ -][0-9]{3,4}([ -][0-9]{2,4})?\\b"
+
+  /**
+   * PII scrubbing — the redaction pass a training-data pipeline runs before
+   * anything leaves the raw zone: emails, IPv4 addresses, and international
+   * phone numbers are replaced by typed placeholder tokens, with a per-doc
+   * redaction count for each class. Fully declarative (`regexp_count` /
+   * `regexp_replace` — codegen'd, no UDF), row-local: embarrassingly
+   * parallel, zero shuffles at any scale.
+   *
+   * The three classes are scrubbed in a FIXED order (email → IPv4 → phone)
+   * and each count is taken on the text as it stands when that class runs,
+   * so overlapping matches (an IPv4 inside an email local-part, say) resolve
+   * deterministically: the earlier class consumes the span.
+   *
+   * Returns (id, clean_text, n_emails, n_ipv4, n_phones).
+   */
+  def piiScrub(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val t0 = coalesce(col(textCol), lit(""))
+    docs.select(col(idCol), t0.as("_t0"))
+      .withColumn("n_emails", regexp_count(col("_t0"), lit(EmailRe)))
+      .withColumn("_t1", regexp_replace(col("_t0"), EmailRe, "<EMAIL>"))
+      .withColumn("n_ipv4", regexp_count(col("_t1"), lit(Ipv4Re)))
+      .withColumn("_t2", regexp_replace(col("_t1"), Ipv4Re, "<IP>"))
+      .withColumn("n_phones", regexp_count(col("_t2"), lit(PhoneRe)))
+      .withColumn("clean_text", regexp_replace(col("_t2"), PhoneRe, "<PHONE>"))
+      .select(col(idCol), col("clean_text"),
+        col("n_emails").cast("long").as("n_emails"),
+        col("n_ipv4").cast("long").as("n_ipv4"),
+        col("n_phones").cast("long").as("n_phones"))
+  }
 }

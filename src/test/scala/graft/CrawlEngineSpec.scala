@@ -268,6 +268,20 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(run.status.map(_.fetched).sum == 6) // exactly-once preserved
   }
 
+  test("cuckoo seen filter (driver and treeAggregate paths) produces identical results") {
+    val h = "http://127.0.0.1:8000"
+    val (_, golden) = doCrawl(s"$h/start")
+    val (run, m) = doCrawl(s"$h/start",
+      CrawlConfig(seenFilterKind = "cuckoo", bloomMinSeen = 0, bloomExpectedInsertions = 1000))
+    assert(m == golden)
+    assert(run.status.map(_.fetched).sum == 6)
+    val (run2, m2) = doCrawl(s"$h/start",
+      CrawlConfig(seenFilterKind = "cuckoo", bloomMinSeen = 0, bloomExpectedInsertions = 1000,
+        bloomDistributedMinRows = 0))
+    assert(m2 == golden)
+    assert(run2.status.map(_.fetched).sum == 6) // exactly-once preserved
+  }
+
   test("politeness: per-host budget defers, result unchanged") {
     val h = PagesGen.host("multi-links")
     val cfg = CrawlConfig(perHostBudgetPerRound = 1)

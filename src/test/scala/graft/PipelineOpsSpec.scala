@@ -735,4 +735,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     val badMeta = Multimodal.decodeMeta(Seq((1L, Array[Byte](1, 2, 3))).toDF("id", "media")).collect()
     assert(badMeta.head.ok == false)
   }
+
+  test("pii scrub: emails, ipv4, phones redacted in fixed order with counts") {
+    val rows = Seq(
+      (1L, "reach me at bob.smith+x@corp-mail.co.uk or on +44 20 7946-0958 thanks"),
+      (2L, "server 192.168.0.1 talked to 10.0.0.255; version 1.2 is fine"),
+      (3L, "email 1.2.3.4@example.com hides an ip in the local part"),
+      (4L, "no pii here, just text with an @ sign and + plus"),
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(rows).orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "reach me at <EMAIL> or on <PHONE> thanks")
+    assert((out(0).getLong(2), out(0).getLong(3), out(0).getLong(4)) == ((1L, 0L, 1L)))
+    assert(out(1).getString(1) == "server <IP> talked to <IP>; version 1.2 is fine")
+    assert((out(1).getLong(2), out(1).getLong(3), out(1).getLong(4)) == ((0L, 2L, 0L)))
+    // email stage runs first, so the ip inside the local part is consumed by it
+    assert(out(2).getString(1) == "email <EMAIL> hides an ip in the local part")
+    assert((out(2).getLong(2), out(2).getLong(3), out(2).getLong(4)) == ((1L, 0L, 0L)))
+    assert(out(3).getString(1) == rows.collect()(3).getString(1)) // untouched
+    assert(out(4).getString(1) == "") // null text -> empty, zero counts
+    // idempotent: scrubbing scrubbed text changes nothing
+    val again = TextAnalysis.piiScrub(
+      out.map(r => (r.getLong(0), r.getString(1))).toSeq.toDF("doc_id", "text"))
+      .orderBy("doc_id").collect()
+    again.zip(out).foreach { case (a, o) =>
+      assert(a.getString(1) == o.getString(1))
+      assert(a.getLong(2) == 0L && a.getLong(3) == 0L && a.getLong(4) == 0L)
+    }
+  }
 }
