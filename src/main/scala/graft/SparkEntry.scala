@@ -599,6 +599,38 @@ object SparkEntry {
       |      || (CASE WHEN doc_id % 6 = 0 THEN ' cc a.b+c@mail.co' ELSE '' END)
       | ELSE text END""".stripMargin
 
+  /** Shared Spark/DuckDB fragment wrapping each document in template
+    * chrome: a nav header and copyright footer on every doc (df = corpus
+    * size), a share bar on every 2nd (df = half), a unique signature line
+    * on the rest (df = 1), and a blank separator line that must survive
+    * the strip untouched. */
+  private val boilerInjectExpr =
+    """'NAV home about contact' || chr(10) || text || chr(10) || '' || chr(10) ||
+      |(CASE WHEN doc_id % 2 = 0 THEN 'SHARE like subscribe'
+      |      ELSE 'sig ' || cast(doc_id AS string) END) || chr(10) ||
+      |'COPYRIGHT 2026 example corp'""".stripMargin
+
+  /** Independent DuckDB re-implementation of the boilerplate strip: same
+    * injected input, same candidate rule (trimmed length ≥ 5), same
+    * distinct-doc document frequency and ≥ 3 threshold. */
+  private lazy val boilerplateStripSql = {
+    val inject = boilerInjectExpr.linesIterator.map(_.trim).mkString(" ")
+    s"""WITH inj AS (SELECT doc_id, $inject AS t FROM documents),
+       |l AS (SELECT doc_id, i AS pos, ln[i] AS line
+       |      FROM (SELECT doc_id, string_split(t, chr(10)) AS ln FROM inj),
+       |      LATERAL (SELECT unnest(generate_series(1, len(ln))) AS i)),
+       |d AS (SELECT line, count(DISTINCT doc_id) AS line_df FROM l
+       |      WHERE len(trim(line)) >= 5 GROUP BY line),
+       |bp AS (SELECT line FROM d WHERE line_df >= 3),
+       |v AS (SELECT l.doc_id, l.pos, l.line, (bp.line IS NOT NULL) AS is_bp
+       |      FROM l LEFT JOIN bp ON l.line = bp.line)
+       |SELECT doc_id,
+       |  coalesce(string_agg(CASE WHEN NOT is_bp THEN line END, chr(10) ORDER BY pos), '') AS clean_text,
+       |  cast(count(*) AS bigint) AS n_lines,
+       |  cast(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS bigint) AS n_stripped
+       |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** Independent DuckDB re-implementation of the PII scrub: same injected
     * input, same pattern literals (TextAnalysis.EmailRe/Ipv4Re/PhoneRe —
     * java.regex ∩ RE2 subset), same fixed email → IPv4 → phone order with
@@ -1597,6 +1629,12 @@ object SparkEntry {
       TextAnalysis.piiScrub(
         s.read.parquet(s"$dir/documents.parquet").withColumn("text", expr(piiInjectExpr)))
         .orderBy("doc_id")),
+    // cross-doc boilerplate line strip over documents wrapped in injected
+    // template chrome (boilerInjectExpr — same literal runs in the oracle)
+    "dedup_boilerplate_strip" -> ((s, dir) =>
+      Dedup.boilerplateStrip(
+        s.read.parquet(s"$dir/documents.parquet").withColumn("text", expr(boilerInjectExpr)))
+        .orderBy("doc_id")),
     // per-language corpus report (composes lang-id + quality in one map
     // pass; the oracle re-joins its own lang-id and quality subqueries).
     // Gate projection is the INTEGRAL five columns; doc_share/mean_quality
@@ -1874,6 +1912,7 @@ object SparkEntry {
     "text_dup_ngram_ratio" -> dupNgramRatioSql,
     "text_repetition_ratio" -> repetitionRatioSql,
     "text_pii_scrub" -> piiScrubSql,
+    "dedup_boilerplate_strip" -> boilerplateStripSql,
     "text_corpus_stats" -> corpusStatsSql,
     "text_top_ngrams" ->
       """WITH t AS (SELECT CASE WHEN trim(text)='' THEN []

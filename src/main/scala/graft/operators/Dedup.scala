@@ -695,6 +695,53 @@ object Dedup {
         (size(col("toks")) - size(col("kept"))).cast("long").as("removed_tokens"))
   }
 
+  // ---- cross-document boilerplate lines -------------------------------------------
+
+  /**
+   * Boilerplate line removal (the RefinedWeb/CCNet-style cleanup): a line
+   * that occurs in ≥ `minDf` DISTINCT documents is template chrome (nav
+   * bars, cookie banners, share buttons, copyright footers), not content —
+   * strip it from every document, preserving the order of what remains.
+   * Only lines with ≥ `minLineChars` non-blank chars are candidates, so
+   * blank separators and trivial punctuation survive.
+   *
+   * Plan shape at 100 TB: explode to (doc, pos, line) once; document
+   * frequency is one line-keyed map-side-combined aggregation (count of
+   * per-doc-distinct line rows); the boilerplate verdict joins back on the
+   * SAME line key (the exchange is reusable — no third shuffle of the
+   * lines); reassembly is one doc-keyed aggregation with sort_array fixing
+   * collect_list's order. No driver materialization of the boilerplate
+   * set, so it may be arbitrarily large.
+   *
+   * Returns (id, clean_text, n_lines, n_stripped) — integral counts plus
+   * the byte-exact reassembled text.
+   */
+  def boilerplateStrip(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                       minDf: Int = 3, minLineChars: Int = 5): DataFrame = {
+    val lines = docs
+      .select(col(idCol), posexplode(split(coalesce(col(textCol), lit("")), "\n")))
+      .withColumnRenamed("col", "line")
+      .persist(CacheLvl)
+    val df = lines
+      .filter(length(trim(col("line"))) >= minLineChars)
+      .dropDuplicates(idCol, "line")
+      .groupBy("line").agg(count(lit(1)).as("line_df"))
+    val verdict = lines
+      .join(df.filter(col("line_df") >= minDf).select(col("line"), lit(true).as("_bp")),
+        Seq("line"), "left")
+    verdict
+      .groupBy(idCol)
+      .agg(
+        sort_array(collect_list(struct(col("pos"),
+          when(col("_bp"), lit(null).cast("string")).otherwise(col("line")).as("line")))).as("ls"),
+        count(lit(1)).cast("long").as("n_lines"),
+        count(col("_bp")).cast("long").as("n_stripped"))
+      .select(col(idCol),
+        array_join(transform(filter(col("ls"), x => x.getField("line").isNotNull),
+          x => x.getField("line")), "\n").as("clean_text"),
+        col("n_lines"), col("n_stripped"))
+  }
+
   // ---- simhash --------------------------------------------------------------------
 
   private val simhashUdf = udf((s: String) => TextKit.simhash64(Option(s).getOrElse("")))

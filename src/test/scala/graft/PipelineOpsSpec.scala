@@ -763,4 +763,27 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(a.getLong(2) == 0L && a.getLong(3) == 0L && a.getLong(4) == 0L)
     }
   }
+
+  test("boilerplate strip: cross-doc lines removed, order and blanks preserved") {
+    val nav = "NAVBAR home about"
+    val foot = "COPYRIGHT footer line"
+    val rows = Seq(
+      (1L, s"$nav\ncontent one\n\n$foot"),
+      (2L, s"$nav\ncontent two\n$foot\n$foot"), // footer twice IN one doc
+      (3L, s"$nav\ncontent three\n$foot"),
+      (4L, s"$nav\n$foot"), // nothing but boilerplate
+      (5L, "tiny\nunique doc")) // 'tiny' < 5 chars: never a candidate
+      .toDF("doc_id", "text")
+    val out = Dedup.boilerplateStrip(rows, minDf = 3).orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "content one\n") // blank line survives
+    assert((out(0).getLong(2), out(0).getLong(3)) == ((4L, 2L)))
+    // BOTH within-doc copies of the cross-doc footer are stripped
+    assert(out(1).getString(1) == "content two")
+    assert((out(1).getLong(2), out(1).getLong(3)) == ((4L, 3L)))
+    assert(out(2).getString(1) == "content three")
+    assert(out(3).getString(1) == "") // fully boilerplate -> empty, row kept
+    assert((out(3).getLong(2), out(3).getLong(3)) == ((2L, 2L)))
+    assert(out(4).getString(1) == "tiny\nunique doc") // untouched
+    assert((out(4).getLong(2), out(4).getLong(3)) == ((2L, 0L)))
+  }
 }
