@@ -1635,6 +1635,22 @@ object SparkEntry {
       Dedup.boilerplateStrip(
         s.read.parquet(s"$dir/documents.parquet").withColumn("text", expr(boilerInjectExpr)))
         .orderBy("doc_id")),
+    // WARC sink+source round trip: documents → .warc.gz archives (one gzip
+    // member per record, the Common-Crawl layout) → read back; the gate
+    // projects url/epoch-µs/byte-length/md5, which the oracle derives from
+    // the parquet table directly — identity is the property under test
+    "warc_roundtrip" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(concat(lit("http://ex.org/"), col("doc_id")).as("url"),
+          timestamp_micros(lit(1767225600000000L) + col("doc_id") * 1000).as("warc_ts"),
+          encode(col("text"), "UTF-8").as("html"))
+      val out = java.nio.file.Files.createTempDirectory("graft-warc-").toString
+      graft.sources.WarcIO.write(docs, out, gzip = true)
+      graft.sources.WarcIO.read(s, out)
+        .select(col("url"), unix_micros(col("warc_ts")).as("ts_us"),
+          length(col("html")).cast("long").as("n_bytes"), md5(col("html")).as("payload_md5"))
+        .orderBy("url")
+    }),
     // per-language corpus report (composes lang-id + quality in one map
     // pass; the oracle re-joins its own lang-id and quality subqueries).
     // Gate projection is the INTEGRAL five columns; doc_share/mean_quality
@@ -1913,6 +1929,12 @@ object SparkEntry {
     "text_repetition_ratio" -> repetitionRatioSql,
     "text_pii_scrub" -> piiScrubSql,
     "dedup_boilerplate_strip" -> boilerplateStripSql,
+    "warc_roundtrip" ->
+      """SELECT 'http://ex.org/' || cast(doc_id AS string) AS url,
+        |       1767225600000000 + doc_id * 1000 AS ts_us,
+        |       cast(octet_length(encode(text)) AS bigint) AS n_bytes,
+        |       md5(text) AS payload_md5
+        |FROM documents ORDER BY url""".stripMargin,
     "text_corpus_stats" -> corpusStatsSql,
     "text_top_ngrams" ->
       """WITH t AS (SELECT CASE WHEN trim(text)='' THEN []
