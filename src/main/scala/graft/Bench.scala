@@ -146,7 +146,8 @@ object Bench {
       "ann_topk_brute", "ann_topk_lsh", "ann_topk_ivf",
       "text_quality", "text_lang_id", "text_fingerprint",
       "text_dup_ngram_ratio", "text_repetition_ratio", "text_corpus_stats",
-      "text_bpe_tokens", "multimodal_meta", "graph_pagerank")
+      "text_bpe_tokens", "multimodal_meta", "graph_pagerank",
+      "corpus_token_shards", "search_tfidf_topk")
 
     // untimed warmup: JIT + codegen + parquet footers, so the first timed
     // query measures the engine, not JVM cold start. The IVF fit also runs

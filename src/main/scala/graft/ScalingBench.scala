@@ -951,6 +951,81 @@ object ScalingBench {
         s""""sec":${f"$sec%.2f"},"edge_iters_per_sec":${f"${nEdges.toDouble * iters / sec}%.1f"},""" +
         s""""rank_rows":${row.getLong(0)},"total_mass":${row.getLong(1)},"digest":${row.getLong(2)}}""")
 
+    case "search" :: cpusStr :: nStr :: Nil =>
+      // Inverted index + retrieval at corpus scale: n DocsGen docs →
+      // full term stats (the index-build pass) and a 4-term top-100
+      // retrieval. The determinism claim is the point: df/cf are exact
+      // integer counts and the retrieval order is total (score_fp desc,
+      // id), so BOTH outputs must be bit-identical at every parallelism
+      // level — stats digest = bit_xor of xxhash64(term, df, cf);
+      // retrieval digest = the ordered top-k row list itself.
+      val cpus = cpusStr.toInt
+      val n = nStr.toLong
+      val s = Bench.buildSession(cpus, s"graft-search-$cpus")
+      import org.apache.spark.sql.functions._
+      val docs = graft.sources.DocsGen.docs(s, n, cpus * 4)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docs.count() // generation excluded from the timed section
+      // query = the first doc's first 4 words (deterministic, guaranteed hits)
+      val qTerms = docs.orderBy("doc_id").head().getString(1)
+        .split("\\s+").take(4).toSeq
+      graft.operators.Search.termStats(docs.limit(2000)).count() // warm JIT
+      val t0 = System.nanoTime()
+      val stats = graft.operators.Search.termStats(docs)
+        .agg(count(lit(1)).as("terms"), sum("cf").as("tokens"),
+          expr("bit_xor(xxhash64(term, df, cf))").as("digest")).head()
+      val statsSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val topk = graft.operators.Search.tfidfTopK(docs, qTerms, k = 100).collect()
+      val querySec = (System.nanoTime() - t1) / 1e9
+      s.stop()
+      val topDigest = java.security.MessageDigest.getInstance("MD5").digest(
+        topk.map(r => s"${r.getLong(0)}:${r.getLong(1)}:${r.getLong(2)}").mkString(";")
+          .getBytes("UTF-8")).map("%02x".format(_)).mkString
+      println(
+        s"""{"metric":"search_scale","cpus":$cpus,"n":$n,""" +
+        s""""index_sec":${f"$statsSec%.2f"},"tokens_per_sec":${f"${stats.getLong(1) / statsSec}%.1f"},""" +
+        s""""terms":${stats.getLong(0)},"tokens":${stats.getLong(1)},"stats_digest":${stats.getLong(2)},""" +
+        s""""query_sec":${f"$querySec%.2f"},"topk_rows":${topk.length},"topk_digest":"$topDigest"}""")
+
+    case "packing" :: cpusStr :: nStr :: Nil =>
+      // The two-phase distributed prefix scan at row scale: n (id, w)
+      // rows with w = 1..63 from splitmix. Exactness claims checked
+      // in-run at ANY size: max(cum_w) == Σw (the scan loses nothing),
+      // systematic-sample row count == ⌊Σw/step⌋ (each multiple of step
+      // selects exactly one interval); digest = bit_xor of
+      // xxhash64(id, cum_w) — bit-identical at every parallelism level.
+      val cpus = cpusStr.toInt
+      val n = nStr.toLong
+      val s = Bench.buildSession(cpus, s"graft-packing-$cpus")
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val base = s.range(0, n, 1, cpus * 4)
+        .map(id => (id, (graft.textkit.TextKit.mix64(id) & 63L) + 1L))
+        .toDF("id", "w")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      base.count() // generation excluded from the timed section
+      graft.operators.Packing.withCumulativeWeight(base.limit(2000), "id", "w")
+        .count() // warm JIT
+      val step = 1000L
+      val t0 = System.nanoTime()
+      val cum = graft.operators.Packing.withCumulativeWeight(base, "id", "w")
+        .agg(count(lit(1)).as("rows"), max("cum_w").as("maxcum"),
+          expr("bit_xor(xxhash64(id, cum_w))").as("digest")).head()
+      val scanSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val sampled = graft.operators.Packing.systematicWeightedSample(base, step, "w", "id").count()
+      val sampleSec = (System.nanoTime() - t1) / 1e9
+      val totalW = base.agg(sum("w")).head().getLong(0)
+      s.stop()
+      require(cum.getLong(1) == totalW, s"scan total ${cum.getLong(1)} != Σw $totalW")
+      require(sampled == totalW / step, s"sampled $sampled != ${totalW / step}")
+      println(
+        s"""{"metric":"packing_scale","cpus":$cpus,"n":$n,"total_w":$totalW,""" +
+        s""""scan_sec":${f"$scanSec%.2f"},"rows_per_sec":${f"${n / scanSec}%.1f"},""" +
+        s""""digest":${cum.getLong(2)},"sample_sec":${f"$sampleSec%.2f"},""" +
+        s""""sampled":$sampled,"exact_checks":"passed"}""")
+
     case "control" :: threadsStr :: rest if rest.size <= 1 =>
       // Pure-JVM control: the tokenizer kernel across a thread pool —
       // measures THIS VM's thread-scaling ceiling so the crawl's scaling can

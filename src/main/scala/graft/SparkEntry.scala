@@ -1678,6 +1678,27 @@ object SparkEntry {
         TextAnalysis.langId(s.read.parquet(s"$dir/documents.parquet")),
         "lang_pred", Map("en" -> 0.6), default = 0.1)
         .orderBy("doc_id")),
+    // GPT-style contiguous token-stream sharding via the two-phase
+    // distributed prefix scan (no single-partition window); every
+    // column a long, divisions integral (`div` ≡ DuckDB `//` on the
+    // non-negative operands)
+    "corpus_token_shards" -> ((s, dir) =>
+      Packing.tokenShards(s.read.parquet(s"$dir/documents.parquet"), capacity = 256)
+        .orderBy("doc_id")),
+    // deterministic weight-proportional subsample (systematic sampling
+    // over the cumulative-token axis): exactly ⌊totalTokens/step⌋ docs,
+    // membership decided by id order alone
+    "corpus_weighted_sample" -> ((s, dir) =>
+      Packing.tokenWeightedSample(s.read.parquet(s"$dir/documents.parquet"), step = 100)
+        .orderBy("doc_id")),
+
+    // ---- retrieval over the crawled corpus (inverted index + ranked
+    // search; fixed-point BIGINT idf so every gate column is integral) ----
+    "search_term_stats" -> ((s, dir) =>
+      Search.termStats(s.read.parquet(s"$dir/documents.parquet")).orderBy("term")),
+    "search_tfidf_topk" -> ((s, dir) =>
+      Search.tfidfTopK(s.read.parquet(s"$dir/documents.parquet"),
+        Seq("spark", "window", "agg", "vector"), k = 20)),
 
     // ---- link-graph analytics over the synthetic link graph ----
     // (edges deterministically derived from doc_id via splitmix64; the
@@ -1946,6 +1967,57 @@ object SparkEntry {
         |ORDER BY n DESC, gram LIMIT 100""".stripMargin,
     "corpus_split" -> corpusSplitSql,
     "corpus_stratified" -> corpusStratifiedSql,
+    // contiguous token-stream sharding: the oracle recomputes the global
+    // prefix sum with a plain window; `//` ≡ Spark `div` on the
+    // non-negative operands, every column BIGINT
+    "corpus_token_shards" ->
+      """WITH t AS (SELECT doc_id,
+        |             CASE WHEN trim(text) = '' THEN 0
+        |                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        |           FROM documents WHERE doc_id IS NOT NULL),
+        |c AS (SELECT doc_id, n_tokens,
+        |        sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM t)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(cum - n_tokens AS BIGINT) AS start_off,
+        |       CAST((cum - n_tokens) // 256 AS BIGINT) AS shard_first,
+        |       CAST(CASE WHEN n_tokens > 0 THEN (cum - 1) // 256
+        |                 ELSE (cum - n_tokens) // 256 END AS BIGINT) AS shard_last
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // systematic weighted sample: interval (cum-w, cum] contains a
+    // multiple of 100 ⟺ the floor-division jump
+    "corpus_weighted_sample" ->
+      """WITH t AS (SELECT doc_id,
+        |             CASE WHEN trim(text) = '' THEN 0
+        |                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        |           FROM documents WHERE doc_id IS NOT NULL),
+        |c AS (SELECT doc_id, n_tokens,
+        |        sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM t)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, CAST(cum AS BIGINT) AS cum_w
+        |FROM c WHERE cum // 100 > (cum - n_tokens) // 100 ORDER BY doc_id""".stripMargin,
+    // inverted-index term statistics re-derived from scratch
+    "search_term_stats" ->
+      """WITH tf AS (SELECT term, doc_id, count(*) AS tf FROM (
+        |        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |        FROM documents WHERE trim(text) <> '') GROUP BY term, doc_id)
+        |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+        |FROM tf GROUP BY term ORDER BY term""".stripMargin,
+    // fixed-point TF-IDF retrieval re-derived from scratch: integral idf
+    // (n_docs·10^6 // df), total order (score desc, id) pins the top-k cut
+    "search_tfidf_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |             FROM documents WHERE trim(text) <> ''),
+        |m AS (SELECT term, doc_id, count(*) AS tf FROM tok
+        |      WHERE term IN ('spark', 'window', 'agg', 'vector') GROUP BY term, doc_id),
+        |n AS (SELECT count(*) AS n_docs FROM documents WHERE trim(text) <> ''),
+        |idf AS (SELECT term, CAST((n.n_docs * 1000000) // count(*) AS BIGINT) AS idf_fp
+        |        FROM m, n GROUP BY term, n.n_docs)
+        |SELECT m.doc_id AS id, count(*) AS n_terms_matched,
+        |       CAST(sum(m.tf * i.idf_fp) AS BIGINT) AS score_fp
+        |FROM m JOIN idf i USING (term)
+        |GROUP BY m.doc_id
+        |ORDER BY score_fp DESC, id LIMIT 20""".stripMargin,
     "graph_degrees" -> graphDegreesSql,
     "graph_pagerank" -> graphPagerankSql(5),
     "graph_domain_rank" -> graphDomainRankSql(5, 32),

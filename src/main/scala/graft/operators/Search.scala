@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Inverted-index construction and term-at-a-time ranked retrieval over a
+ * crawled corpus — what a crawl's output is FOR: the downstream index a
+ * search/retrieval pipeline builds from the `documents` table.
+ *
+ * Tokenization is the engine-wide whitespace convention (the
+ * `text_tokens` gate). The index is the standard postings relation
+ * (term, id, tf); its statistics (df, cf) and the retrieval scores are
+ * pure BIGINT arithmetic, so every gate column is integral and
+ * hash-stable across engines — the fixed-point idf
+ * `idf_fp = (n_docs · Scale) div df` replaces the usual log-idf: it is
+ * exactly reproducible in any SQL engine, preserves the rank ordering
+ * property that matters (rarer term ⇒ larger weight, strictly monotone
+ * in 1/df), and at n_docs = 10^10 with Scale = 10^6 stays < 2^63.
+ *
+ * Scale shape: postings are a row-local explode + ONE (id, term)-keyed
+ * aggregation; term stats reuse that shuffle's output with a map-side
+ * partial term aggregation. Retrieval filters the explode to the query's
+ * terms BEFORE any shuffle (the selective predicate sits on the scan
+ * side), aggregates only matching postings by doc, and takes the top k
+ * via orderBy+limit — Spark plans a TakeOrdered, never a full sort. The
+ * per-term idf table is ≤ |query| rows and broadcast. No driver-side
+ * collection anywhere; the corpus-size scalar rides a broadcast 1-row
+ * cross join (the corpusStats pattern).
+ *
+ * No reference counterpart (the reference stops at crawl results) —
+ * part of the LLM/retrieval pipeline operator set.
+ */
+object Search {
+
+  /** Fixed-point idf scale: rank-safe and overflow-safe (see above). */
+  val Scale = 1000000L
+
+  private def tokens(docs: DataFrame, textCol: String, idCol: String) =
+    docs.filter(length(trim(coalesce(col(textCol), lit("")))) > 0)
+      .select(col(idCol).as("id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("term"))
+
+  /** The postings relation (term, id, tf) — one (id, term)-keyed shuffle
+    * with map-side partial counts at any corpus size. */
+  def postings(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    tokens(docs, textCol, idCol)
+      .groupBy("term", "id").agg(count(lit(1)).as("tf"))
+
+  /** Per-term index statistics (term, df, cf): document frequency and
+    * corpus frequency. df = count of postings rows (unique per (term,
+    * id) by construction); cf = Σ tf. */
+  def termStats(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    postings(docs, textCol, idCol)
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+
+  /**
+   * Term-at-a-time ranked retrieval: top-`k` docs for `query` (a bag of
+   * terms; duplicates ignored) under the fixed-point TF-IDF score
+   * `score_fp = Σ_t tf(t, d) · ((n_docs · Scale) div df(t))` with the
+   * TOTAL order (score_fp desc, id asc) — the top-k cut is
+   * deterministic. n_docs counts indexed (non-empty) docs. Returns
+   * (id, n_terms_matched, score_fp); only docs matching ≥ 1 query term
+   * appear.
+   */
+  def tfidfTopK(docs: DataFrame, query: Seq[String], k: Int,
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(query.nonEmpty, "query must have at least one term")
+    require(k >= 1, "k must be >= 1")
+    val qt = query.distinct
+    // filter BEFORE the (id, term) shuffle: only the query terms' tokens
+    // ever leave the scan stage
+    val matches = tokens(docs, textCol, idCol)
+      .filter(col("term").isin(qt: _*))
+      .groupBy("term", "id").agg(count(lit(1)).as("tf"))
+    val nDocs = docs
+      .filter(length(trim(coalesce(col(textCol), lit("")))) > 0)
+      .agg(count(lit(1)).as("n_docs"))
+    val idf = matches.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf_fp", expr(s"(n_docs * ${Scale}L) div df"))
+      .select("term", "idf_fp")
+    matches.join(broadcast(idf), "term")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_terms_matched"),
+        sum(col("tf") * col("idf_fp")).as("score_fp"))
+      .orderBy(col("score_fp").desc, col("id"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,162 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Packing, Search}
+
+/** Distributed prefix-scan packing/sampling and inverted-index retrieval:
+  * brute-force equivalence on crafted corpora, invariants on the sf0.001
+  * documents table, and partitioning-independence of every output. */
+class SearchPackingSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+
+  import spark.implicits._
+
+  // ---- Packing.withCumulativeWeight -----------------------------------
+
+  test("prefix scan matches a driver-side cumulative sum on shuffled input") {
+    val n = 10000
+    val rows = (0 until n).map(i => (i.toLong, ((i * 2654435761L) % 37 + 1))).toSeq
+    // scatter the rows across partitions in arbitrary order
+    val df = spark.createDataFrame(scala.util.Random.shuffle(rows)).toDF("id", "w")
+      .repartition(13)
+    val got = Packing.withCumulativeWeight(df, "id", "w")
+      .select("id", "cum_w").as[(Long, Long)].collect().toMap
+    var acc = 0L
+    rows.sortBy(_._1).foreach { case (id, w) =>
+      acc += w
+      assert(got(id) == acc, s"id=$id")
+    }
+    assert(got.size == n)
+  }
+
+  test("prefix scan drops null ids and is partitioning-independent") {
+    val df = Seq((Some(1L), 5L), (None, 7L), (Some(2L), 3L), (Some(3L), 2L))
+      .toDF("id", "w")
+    val a = Packing.withCumulativeWeight(df.repartition(1), "id", "w")
+      .select("id", "cum_w").as[(Long, Long)].collect().sorted.toSeq
+    val b = Packing.withCumulativeWeight(df.repartition(7), "id", "w")
+      .select("id", "cum_w").as[(Long, Long)].collect().sorted.toSeq
+    assert(a == Seq((1L, 5L), (2L, 8L), (3L, 10L)))
+    assert(b == a)
+  }
+
+  // ---- Packing.tokenShards --------------------------------------------
+
+  test("tokenShards: contiguous intervals, straddles, and exact shard fill") {
+    val cap = 64L
+    val out = Packing.tokenShards(docs, capacity = cap).orderBy("doc_id").collect()
+    var expectedOff = 0L
+    out.foreach { r =>
+      val (nt, off, sf, sl) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("start_off"),
+        r.getAs[Long]("shard_first"), r.getAs[Long]("shard_last"))
+      assert(off == expectedOff) // contiguous, no gaps or overlaps
+      expectedOff += nt
+      assert(sf == off / cap)
+      if (nt > 0) assert(sl == (off + nt - 1) / cap) else assert(sl == sf)
+    }
+    val total = expectedOff
+    // every shard except the last holds exactly `cap` tokens
+    val perShard = out.flatMap { r =>
+      val (nt, off) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("start_off"))
+      (off until off + nt).map(t => t / cap)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val lastShard = (total - 1) / cap
+    perShard.foreach { case (s, cnt) =>
+      if (s < lastShard) assert(cnt == cap, s"shard $s") else assert(cnt == total - lastShard * cap)
+    }
+    // at least one doc straddles a boundary at this capacity
+    assert(out.exists(r => r.getAs[Long]("shard_last") > r.getAs[Long]("shard_first")))
+  }
+
+  // ---- Packing.systematicWeightedSample -------------------------------
+
+  test("weighted sample: exactly totalW/step docs, brute-force membership") {
+    val step = 100L
+    val base = docs.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("w"))
+    val totalW = base.agg(sum("w")).as[Long].head()
+    val got = Packing.systematicWeightedSample(base, step, "w")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.size == (totalW / step).toInt)
+    // brute force: doc selected iff its cum interval contains a multiple
+    var acc = 0L
+    val want = base.orderBy("doc_id").as[(Long, Long)].collect().flatMap { case (id, w) =>
+      val before = acc; acc += w
+      if (acc / step > before / step) Some(id) else None
+    }.toSet
+    assert(got == want)
+    // weight-proportional, not doc-uniform: the sampled mean weight sits at
+    // or above ~the corpus mean (E[w²]/E[w] ≥ E[w]; slack for one draw)
+    val meanAll = totalW.toDouble / base.count()
+    val meanSel = base.filter(col("doc_id").isin(got.toSeq: _*))
+      .agg(avg("w")).as[Double].head()
+    assert(meanSel >= meanAll * 0.9)
+  }
+
+  // ---- Search ----------------------------------------------------------
+
+  private lazy val tiny = Seq(
+    (0L, "apple banana apple"),
+    (1L, "banana cherry"),
+    (2L, "apple apple apple durian"),
+    (3L, ""),
+    (4L, "   "),
+    (5L, "cherry durian cherry banana")
+  ).toDF("doc_id", "text").cache()
+
+  test("postings and term stats match brute force") {
+    val p = Search.postings(tiny).as[(String, Long, Long)].collect().toSet
+    assert(p == Set(
+      ("apple", 0L, 2L), ("banana", 0L, 1L),
+      ("banana", 1L, 1L), ("cherry", 1L, 1L),
+      ("apple", 2L, 3L), ("durian", 2L, 1L),
+      ("cherry", 5L, 2L), ("durian", 5L, 1L), ("banana", 5L, 1L)))
+    val st = Search.termStats(tiny).as[(String, Long, Long)].collect().toSet
+    assert(st == Set(("apple", 2L, 5L), ("banana", 3L, 3L),
+      ("cherry", 2L, 3L), ("durian", 2L, 2L)))
+  }
+
+  test("tfidf top-k: fixed-point scores and deterministic tie-break") {
+    // n_docs = 4 indexed docs; idf_fp(apple) = 4e6 div 2 = 2e6,
+    // idf_fp(durian) = 2e6
+    val out = Search.tfidfTopK(tiny, Seq("apple", "durian"), k = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (2L, 2L, 3L * 2000000L + 1L * 2000000L), // 8e6
+      (0L, 1L, 2L * 2000000L),                 // 4e6
+      (5L, 1L, 1L * 2000000L)))                // 2e6
+    // duplicate query terms collapse; k cuts after ordering
+    val top1 = Search.tfidfTopK(tiny, Seq("apple", "apple", "durian"), k = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(top1 == out.take(1))
+  }
+
+  test("tfidf on the documents table matches a brute-force recompute") {
+    val q = Seq("spark", "window", "agg", "vector")
+    val all = docs.select("doc_id", "text").as[(Long, String)].collect()
+    val indexed = all.filter(_._2.trim.nonEmpty)
+    val tf = indexed.map { case (id, t) =>
+      id -> t.trim.split("\\s+").groupBy(identity).view.mapValues(_.length.toLong).toMap
+    }
+    val df = q.map(t => t -> tf.count(_._2.contains(t)).toLong).toMap
+    val idf = df.collect { case (t, d) if d > 0 => t -> indexed.length.toLong * 1000000L / d }
+    val want = tf.flatMap { case (id, m) =>
+      val matched = q.distinct.filter(m.contains)
+      if (matched.isEmpty) None
+      else Some((id, matched.size.toLong, matched.map(t => m(t) * idf(t)).sum))
+    }.sortBy { case (id, _, s) => (-s, id) }.take(20).toSeq
+    val got = Search.tfidfTopK(docs, q, k = 20).as[(Long, Long, Long)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("retrieval output is independent of input partitioning") {
+    val a = Search.tfidfTopK(docs.repartition(1), Seq("spark", "table"), k = 15)
+      .as[(Long, Long, Long)].collect().toSeq
+    val b = Search.tfidfTopK(docs.repartition(11), Seq("spark", "table"), k = 15)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(a == b)
+  }
+}
