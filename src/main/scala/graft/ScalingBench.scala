@@ -22,6 +22,18 @@ object ScalingBench {
   private def warmDir = "/tmp/graft_scaling_pages_warm"
   private val warmN = 20000L
 
+  /** Summed executor task time (ms) across stages completed since attach —
+    * the hardware-attribution telemetry for the scaling modes: on this VM
+    * per-core CPU time inflates with thread count on bandwidth-bound work,
+    * so raw wall-clock pairs understate the engine. Read AFTER
+    * SparkSession.stop(), which flushes the listener bus. */
+  private final class TaskTimeAcc extends org.apache.spark.scheduler.SparkListener {
+    val ms = new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(
+        e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      ms.addAndGet(e.stageInfo.taskMetrics.executorRunTime)
+  }
+
   /** Best-effort recursive delete of a bench temp dir. */
   private def deleteRec(dir: String): Unit = {
     val p = java.nio.file.Paths.get(dir)
@@ -952,6 +964,10 @@ object ScalingBench {
         s""""rank_rows":${row.getLong(0)},"total_mass":${row.getLong(1)},"digest":${row.getLong(2)}}""")
 
     case "search" :: cpusStr :: nStr :: Nil =>
+      // (task_sec = summed executor task time over the timed section —
+      // the hardware-attribution number: on this VM per-core CPU time
+      // INFLATES with thread count on bandwidth-bound scans/sorts, so
+      // raw wall pairs understate the engine; task_sec ratios expose it)
       // Inverted index + retrieval at corpus scale: n DocsGen docs →
       // full term stats (the index-build pass) and a 4-term top-100
       // retrieval. The determinism claim is the point: df/cf are exact
@@ -970,6 +986,8 @@ object ScalingBench {
       val qTerms = docs.orderBy("doc_id").head().getString(1)
         .split("\\s+").take(4).toSeq
       graft.operators.Search.termStats(docs.limit(2000)).count() // warm JIT
+      val acc = new TaskTimeAcc
+      s.sparkContext.addSparkListener(acc)
       val t0 = System.nanoTime()
       val stats = graft.operators.Search.termStats(docs)
         .agg(count(lit(1)).as("terms"), sum("cf").as("tokens"),
@@ -979,6 +997,7 @@ object ScalingBench {
       val topk = graft.operators.Search.tfidfTopK(docs, qTerms, k = 100).collect()
       val querySec = (System.nanoTime() - t1) / 1e9
       s.stop()
+      val taskSec = acc.ms.get() / 1e3
       val topDigest = java.security.MessageDigest.getInstance("MD5").digest(
         topk.map(r => s"${r.getLong(0)}:${r.getLong(1)}:${r.getLong(2)}").mkString(";")
           .getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -986,7 +1005,8 @@ object ScalingBench {
         s"""{"metric":"search_scale","cpus":$cpus,"n":$n,""" +
         s""""index_sec":${f"$statsSec%.2f"},"tokens_per_sec":${f"${stats.getLong(1) / statsSec}%.1f"},""" +
         s""""terms":${stats.getLong(0)},"tokens":${stats.getLong(1)},"stats_digest":${stats.getLong(2)},""" +
-        s""""query_sec":${f"$querySec%.2f"},"topk_rows":${topk.length},"topk_digest":"$topDigest"}""")
+        s""""query_sec":${f"$querySec%.2f"},"topk_rows":${topk.length},"topk_digest":"$topDigest",""" +
+        s""""task_sec":${f"$taskSec%.1f"}}""")
 
     case "packing" :: cpusStr :: nStr :: Nil =>
       // The two-phase distributed prefix scan at row scale: n (id, w)
@@ -1007,6 +1027,9 @@ object ScalingBench {
       base.count() // generation excluded from the timed section
       graft.operators.Packing.withCumulativeWeight(base.limit(2000), "id", "w")
         .count() // warm JIT
+      val totalW = base.agg(sum("w")).head().getLong(0) // check pass, untimed
+      val acc = new TaskTimeAcc
+      s.sparkContext.addSparkListener(acc)
       val step = 1000L
       val t0 = System.nanoTime()
       val cum = graft.operators.Packing.withCumulativeWeight(base, "id", "w")
@@ -1016,15 +1039,15 @@ object ScalingBench {
       val t1 = System.nanoTime()
       val sampled = graft.operators.Packing.systematicWeightedSample(base, step, "w", "id").count()
       val sampleSec = (System.nanoTime() - t1) / 1e9
-      val totalW = base.agg(sum("w")).head().getLong(0)
       s.stop()
+      val taskSec = acc.ms.get() / 1e3
       require(cum.getLong(1) == totalW, s"scan total ${cum.getLong(1)} != Σw $totalW")
       require(sampled == totalW / step, s"sampled $sampled != ${totalW / step}")
       println(
         s"""{"metric":"packing_scale","cpus":$cpus,"n":$n,"total_w":$totalW,""" +
         s""""scan_sec":${f"$scanSec%.2f"},"rows_per_sec":${f"${n / scanSec}%.1f"},""" +
         s""""digest":${cum.getLong(2)},"sample_sec":${f"$sampleSec%.2f"},""" +
-        s""""sampled":$sampled,"exact_checks":"passed"}""")
+        s""""sampled":$sampled,"task_sec":${f"$taskSec%.1f"},"exact_checks":"passed"}""")
 
     case "control" :: threadsStr :: rest if rest.size <= 1 =>
       // Pure-JVM control: the tokenizer kernel across a thread pool —

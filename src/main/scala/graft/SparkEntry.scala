@@ -1691,6 +1691,18 @@ object SparkEntry {
     "corpus_weighted_sample" -> ((s, dir) =>
       Packing.tokenWeightedSample(s.read.parquet(s"$dir/documents.parquet"), step = 100)
         .orderBy("doc_id")),
+    // the shard materialization plan: per-(shard, doc) token slices —
+    // what a shard writer groups by shard to emit fixed-budget files
+    "corpus_shard_slices" -> ((s, dir) =>
+      Packing.shardSlices(s.read.parquet(s"$dir/documents.parquet"), capacity = 256)
+        .orderBy("shard", "doc_id")),
+
+    // Gopher-style quality rules (Rae et al. 2021 §A.2): every ratio
+    // threshold cross-multiplied into exact integer comparisons — the
+    // gate emits only longs/booleans
+    "text_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy("doc_id")),
 
     // ---- retrieval over the crawled corpus (inverted index + ranked
     // search; fixed-point BIGINT idf so every gate column is integral) ----
@@ -1996,6 +2008,67 @@ object SparkEntry {
         |      FROM t)
         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, CAST(cum AS BIGINT) AS cum_w
         |FROM c WHERE cum // 100 > (cum - n_tokens) // 100 ORDER BY doc_id""".stripMargin,
+    // per-(shard, doc) slices: unnest(range(...)) over the same window
+    // prefix sum; greatest/least clamp arithmetic identical to Spark's
+    "corpus_shard_slices" ->
+      """WITH t AS (SELECT doc_id,
+        |             CASE WHEN trim(text) = '' THEN 0
+        |                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        |           FROM documents WHERE doc_id IS NOT NULL),
+        |c AS (SELECT doc_id, n_tokens,
+        |        CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          - n_tokens AS BIGINT) AS start_off
+        |      FROM t WHERE n_tokens > 0),
+        |e AS (SELECT doc_id, n_tokens, start_off,
+        |        unnest(range(start_off // 256, (start_off + n_tokens - 1) // 256 + 1)) AS shard
+        |      FROM c)
+        |SELECT CAST(shard AS BIGINT) AS shard, doc_id,
+        |       CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(greatest(shard * 256 - start_off, 0) AS BIGINT) AS slice_start,
+        |       CAST(least((shard + 1) * 256 - start_off, n_tokens)
+        |            - greatest(shard * 256 - start_off, 0) AS BIGINT) AS slice_len
+        |FROM e ORDER BY shard, doc_id""".stripMargin,
+    // Gopher rules re-derived with the identical (java.regex ∩ RE2)
+    // patterns and the same cross-multiplied integer comparisons
+    "text_gopher_rules" ->
+      """WITH b AS (
+        |  SELECT doc_id, coalesce(text, '') AS t,
+        |         CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[]
+        |              ELSE string_split_regex(trim(text), '\s+') END AS w,
+        |         string_split(coalesce(text, ''), chr(10)) AS l
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(length(regexp_replace(t, '\s', '', 'g')) AS BIGINT) AS sum_word_len,
+        |    CAST(len(regexp_extract_all(t, '#')) + len(regexp_extract_all(t, '\.\.\.')) AS BIGINT) AS n_symbols,
+        |    CAST(len(l) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(l, x -> regexp_matches(x, '^\s*[-*•]'))) AS BIGINT) AS n_bullet_lines,
+        |    CAST(len(list_filter(l, x -> regexp_matches(x, '\.\.\.\s*$'))) AS BIGINT) AS n_ellipsis_lines,
+        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+        |    CAST((CASE WHEN regexp_matches(t, '(^|\s)the($|\s)') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN regexp_matches(t, '(^|\s)be($|\s)') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN regexp_matches(t, '(^|\s)to($|\s)') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN regexp_matches(t, '(^|\s)of($|\s)') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN regexp_matches(t, '(^|\s)and($|\s)') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN regexp_matches(t, '(^|\s)that($|\s)') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN regexp_matches(t, '(^|\s)have($|\s)') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN regexp_matches(t, '(^|\s)with($|\s)') THEN 1 ELSE 0 END) AS BIGINT) AS n_stopword_hits
+        |  FROM b)
+        |SELECT *,
+        |  (ok_words AND ok_mean_len AND ok_symbol AND ok_bullet
+        |   AND ok_ellipsis AND ok_alpha AND ok_stop) AS pass
+        |FROM (
+        |  SELECT *,
+        |    (n_words >= 50 AND n_words <= 100000) AS ok_words,
+        |    (sum_word_len >= 3 * n_words AND sum_word_len <= 10 * n_words AND n_words > 0) AS ok_mean_len,
+        |    (10 * n_symbols < n_words) AS ok_symbol,
+        |    (10 * n_bullet_lines < 9 * n_lines) AS ok_bullet,
+        |    (10 * n_ellipsis_lines < 3 * n_lines) AS ok_ellipsis,
+        |    (5 * n_alpha_words >= 4 * n_words) AS ok_alpha,
+        |    (n_stopword_hits >= 2) AS ok_stop
+        |  FROM m)
+        |ORDER BY doc_id""".stripMargin,
     // inverted-index term statistics re-derived from scratch
     "search_term_stats" ->
       """WITH tf AS (SELECT term, doc_id, count(*) AS tf FROM (

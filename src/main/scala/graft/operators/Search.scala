@@ -70,10 +70,17 @@ object Search {
     require(k >= 1, "k must be >= 1")
     val qt = query.distinct
     // filter BEFORE the (id, term) shuffle: only the query terms' tokens
-    // ever leave the scan stage
+    // ever leave the scan stage. The aggregated matches feed BOTH the df
+    // branch and the scoring join — persist so the corpus pass runs ONCE
+    // (both plan branches share the same InMemoryRelation; unpersisted,
+    // the plan re-scans the whole corpus for the second branch —
+    // plan-audited, PLANS.md). The cached frame holds only the query
+    // terms' postings and is LRU-managed; eviction costs a recompute,
+    // never correctness.
     val matches = tokens(docs, textCol, idCol)
       .filter(col("term").isin(qt: _*))
       .groupBy("term", "id").agg(count(lit(1)).as("tf"))
+      .persist()
     val nDocs = docs
       .filter(length(trim(coalesce(col(textCol), lit("")))) > 0)
       .agg(count(lit(1)).as("n_docs"))

@@ -212,4 +212,68 @@ object TextAnalysis {
         col("n_ipv4").cast("long").as("n_ipv4"),
         col("n_phones").cast("long").as("n_phones"))
   }
+
+  /** The Gopher stop-word presence set (Rae et al. 2021 §A.2 use a small
+    * English closed-class list; this is that list). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /**
+   * Gopher-style document quality rules (Rae et al. 2021, "Scaling
+   * Language Models" §A.2 — the MassiveWeb filter): word-count bounds,
+   * mean-word-length bounds, symbol-to-word ratio, bullet/ellipsis line
+   * ratios, alphabetic-word fraction, and stop-word presence. The
+   * standard pre-training corpus gate after dedup.
+   *
+   * Every rule is evaluated in EXACT integer arithmetic — ratio
+   * thresholds become cross-multiplied integer comparisons (mean word
+   * length ∈ [3, 10] ⟺ 3·n_words ≤ sum_word_len ≤ 10·n_words), so the
+   * gate columns are longs/booleans with no float anywhere, and the
+   * DuckDB oracle lands on identical values by construction. Fully
+   * declarative (split/filter/regexp_count — codegen'd, no UDF),
+   * row-local: zero shuffles at any scale. Regex literals are restricted
+   * to the java.regex ∩ RE2 subset (the piiScrub convention) so the
+   * identical patterns run in the oracle.
+   *
+   * Returns (id, n_words, sum_word_len, n_symbols, n_lines,
+   * n_bullet_lines, n_ellipsis_lines, n_alpha_words, n_stopword_hits,
+   * ok_words, ok_mean_len, ok_symbol, ok_bullet, ok_ellipsis, ok_alpha,
+   * ok_stop, pass).
+   */
+  def gopherRules(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                  minWords: Long = 50, maxWords: Long = 100000): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val words = when(length(trim(t)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(t), "\\s+"))
+    val lines = split(t, "\n", -1)
+    docs.select(col(idCol), t.as("_t"), words.as("_w"), lines.as("_l"))
+      .select(col(idCol),
+        size(col("_w")).cast("long").as("n_words"),
+        // total non-whitespace chars = Σ word lengths (exact, no explode)
+        length(regexp_replace(col("_t"), "\\s", "")).cast("long").as("sum_word_len"),
+        (regexp_count(col("_t"), lit("#")) +
+          regexp_count(col("_t"), lit("\\.\\.\\."))).cast("long").as("n_symbols"),
+        size(col("_l")).cast("long").as("n_lines"),
+        size(filter(col("_l"), l => l.rlike("^\\s*[-*•]"))).cast("long")
+          .as("n_bullet_lines"),
+        size(filter(col("_l"), l => l.rlike("\\.\\.\\.\\s*$"))).cast("long")
+          .as("n_ellipsis_lines"),
+        size(filter(col("_w"), w => w.rlike("[A-Za-z]"))).cast("long")
+          .as("n_alpha_words"),
+        GopherStopwords.map(sw =>
+          when(col("_t").rlike("(^|\\s)" + sw + "($|\\s)"), 1L).otherwise(0L))
+          .reduce(_ + _).as("n_stopword_hits"))
+      .withColumn("ok_words", col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("ok_mean_len",
+        col("sum_word_len") >= lit(3) * col("n_words") &&
+          col("sum_word_len") <= lit(10) * col("n_words") && col("n_words") > 0)
+      .withColumn("ok_symbol", lit(10) * col("n_symbols") < col("n_words"))
+      .withColumn("ok_bullet", lit(10) * col("n_bullet_lines") < lit(9) * col("n_lines"))
+      .withColumn("ok_ellipsis", lit(10) * col("n_ellipsis_lines") < lit(3) * col("n_lines"))
+      .withColumn("ok_alpha", lit(5) * col("n_alpha_words") >= lit(4) * col("n_words"))
+      .withColumn("ok_stop", col("n_stopword_hits") >= 2)
+      .withColumn("pass",
+        col("ok_words") && col("ok_mean_len") && col("ok_symbol") &&
+          col("ok_bullet") && col("ok_ellipsis") && col("ok_alpha") && col("ok_stop"))
+  }
 }

@@ -764,6 +764,44 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("gopher rules: each rule fires on its crafted violator, good doc passes") {
+    // 55 words, mean len in [3,10], two stopwords, no symbols/bullets
+    val good = (("the cat sat with " + Seq.fill(51)("word").mkString(" ")))
+    val bullets = (1 to 10).map(i => s"- item number $i here").mkString("\n") +
+      "\n" + Seq.fill(60)("word").mkString(" ") + " the with"
+    val symbols = "the with " + Seq.fill(53)("word").mkString(" ") +
+      " " + Seq.fill(12)("#").mkString(" ")
+    val shortw = "the with " + Seq.fill(53)("a").mkString(" ")
+    val rows = Seq(
+      (0L, good), (1L, ""), (2L, bullets), (3L, symbols), (4L, shortw),
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(rows).orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[Boolean]("pass"))
+    assert(out(0L).getAs[Long]("n_words") == 55)
+    assert(out(0L).getAs[Long]("n_stopword_hits") == 2) // the, with
+    // empty + null: zero words fails ok_words and ok_mean_len, never NPEs
+    Seq(1L, 5L).foreach { id =>
+      assert(out(id).getAs[Long]("n_words") == 0)
+      assert(!out(id).getAs[Boolean]("ok_words"))
+      assert(!out(id).getAs[Boolean]("ok_mean_len"))
+      assert(!out(id).getAs[Boolean]("pass"))
+    }
+    // 10 of 11 lines are bullets -> 10*10 >= 9*11 fails ok_bullet only there
+    assert(out(2L).getAs[Long]("n_bullet_lines") == 10)
+    assert(out(2L).getAs[Long]("n_lines") == 11)
+    assert(!out(2L).getAs[Boolean]("ok_bullet") && !out(2L).getAs[Boolean]("pass"))
+    assert(out(0L).getAs[Boolean]("ok_bullet"))
+    // 12 symbols vs 67 words -> 120 >= 67 fails ok_symbol
+    assert(out(3L).getAs[Long]("n_symbols") == 12)
+    assert(!out(3L).getAs[Boolean]("ok_symbol") && !out(3L).getAs[Boolean]("pass"))
+    // 53 one-char words drag the mean below 3 (sum 60 < 3*55)
+    assert(!out(4L).getAs[Boolean]("ok_mean_len") && !out(4L).getAs[Boolean]("pass"))
+    // symbol doc stays above the 80% alpha-word floor (55 of 67 ≈ 82%)
+    assert(out(3L).getAs[Boolean]("ok_alpha"))
+  }
+
   test("boilerplate strip: cross-doc lines removed, order and blanks preserved") {
     val nav = "NAVBAR home about"
     val foot = "COPYRIGHT footer line"

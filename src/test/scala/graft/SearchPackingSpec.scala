@@ -71,6 +71,28 @@ class SearchPackingSpec extends AnyFunSuite {
     assert(out.exists(r => r.getAs[Long]("shard_last") > r.getAs[Long]("shard_first")))
   }
 
+  test("shardSlices: exact per-shard fill, per-doc coverage, contiguity") {
+    val cap = 64L
+    val sl = Packing.shardSlices(docs, cap).collect()
+    val perShard = sl.groupBy(_.getAs[Long]("shard")).view
+      .mapValues(_.map(_.getAs[Long]("slice_len")).sum).toMap
+    val lastShard = perShard.keys.max
+    perShard.foreach { case (s, fill) =>
+      if (s < lastShard) assert(fill == cap, s"shard $s") else assert(fill > 0 && fill <= cap)
+    }
+    assert(perShard.keys.toSeq.sorted == (0L to lastShard)) // no shard gaps
+    // per doc: slices cover exactly [0, n_tokens), contiguous ascending
+    sl.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_.getAs[Long]("shard"))
+      val nt = ordered.head.getAs[Long]("n_tokens")
+      assert(ordered.head.getAs[Long]("slice_start") == 0)
+      val end = ordered.foldLeft(0L) { (pos, r) =>
+        assert(r.getAs[Long]("slice_start") == pos); pos + r.getAs[Long]("slice_len")
+      }
+      assert(end == nt)
+    }
+  }
+
   // ---- Packing.systematicWeightedSample -------------------------------
 
   test("weighted sample: exactly totalW/step docs, brute-force membership") {
