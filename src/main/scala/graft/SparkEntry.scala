@@ -957,6 +957,28 @@ object SparkEntry {
     s.table(name)
   }
 
+  /** Streaming inverted-index maintenance driven to completion over the
+    * chunked documents replay — running per-term corpus frequencies in
+    * complete mode; the gate compares against the batch term-stats cf
+    * projection (exact integer counts ⇒ the streamed answer must equal
+    * the batch one verbatim). */
+  private def streamTermCounts(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val nChunks = 5
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val width = maxId / nChunks + 1
+    val chunks = (0 until nChunks).map(i =>
+      docs.filter(col("doc_id") >= i.toLong * width && col("doc_id") < (i + 1).toLong * width))
+    val (src, cleanup) = chunkedFileStream(s, docs.schema, chunks)
+    val name = s"gate_stream_termcf_${streamSinkSeq.incrementAndGet()}"
+    val q = graft.streaming.StreamOps.termCountsStream(src)
+      .writeStream.format("memory").queryName(name).outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    cleanup()
+    s.table(name).select(col("term"), col("cf")).orderBy("term")
+  }
+
   private def streamSessions(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     runEventStream(s, dir, "stream_sessions")(df =>
@@ -1711,6 +1733,12 @@ object SparkEntry {
     "search_tfidf_topk" -> ((s, dir) =>
       Search.tfidfTopK(s.read.parquet(s"$dir/documents.parquet"),
         Seq("spark", "window", "agg", "vector"), k = 20)),
+    // BM25 TF-saturation ranking, all-BIGINT (k1=1.2, b=0.75 cleared to
+    // integer arithmetic; floor divisions are part of the score's
+    // definition and run identically in the oracle)
+    "search_bm25_topk" -> ((s, dir) =>
+      Search.bm25TopK(s.read.parquet(s"$dir/documents.parquet"),
+        Seq("spark", "window", "agg", "vector"), k = 20)),
 
     // ---- link-graph analytics over the synthetic link graph ----
     // (edges deterministically derived from doc_id via splitmix64; the
@@ -1737,6 +1765,9 @@ object SparkEntry {
     // continuous ingest-dedup (quality gate + stateful exact dedup),
     // streamed to completion — order-invariant survivor-set gate shape
     "stream_dedup" -> ((s, dir) => streamDedup(s, dir)),
+    // streaming inverted-index maintenance (running per-term cf) — must
+    // equal the batch term-stats cf projection exactly
+    "stream_term_counts" -> ((s, dir) => streamTermCounts(s, dir)),
     // the crawl checkpoint tailed AS a stream (north-star: each crawl
     // round is a micro-batch): per-result-type counts over the committed
     // per-round result increments, driven to completion in complete mode
@@ -2091,6 +2122,23 @@ object SparkEntry {
         |FROM m JOIN idf i USING (term)
         |GROUP BY m.doc_id
         |ORDER BY score_fp DESC, id LIMIT 20""".stripMargin,
+    // BM25 re-derived from scratch with the identical integer clearing
+    "search_bm25_topk" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |           FROM documents WHERE trim(text) <> ''),
+        |tok AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM d),
+        |m AS (SELECT term, doc_id, count(*) AS tf, max(dl) AS dl FROM tok
+        |      WHERE term IN ('spark', 'window', 'agg', 'vector') GROUP BY term, doc_id),
+        |tot AS (SELECT count(*) AS n_docs, CAST(sum(len(w)) AS BIGINT) AS t_tokens FROM d),
+        |idf AS (SELECT term, CAST((t.n_docs * 10000) // count(*) AS BIGINT) AS idf_fp,
+        |               t.n_docs, t.t_tokens
+        |        FROM m, tot t GROUP BY term, t.n_docs, t.t_tokens)
+        |SELECT m.doc_id AS id, CAST(max(m.dl) AS BIGINT) AS dl,
+        |       count(*) AS n_terms_matched,
+        |       CAST(sum((i.idf_fp * 22 * m.tf)
+        |                // (10 * m.tf + 3 + (9 * m.dl * i.n_docs) // i.t_tokens)) AS BIGINT) AS score_fp
+        |FROM m JOIN idf i USING (term)
+        |GROUP BY m.doc_id ORDER BY score_fp DESC, id LIMIT 20""".stripMargin,
     "graph_degrees" -> graphDegreesSql,
     "graph_pagerank" -> graphPagerankSql(5),
     "graph_domain_rank" -> graphDomainRankSql(5, 32),
@@ -2109,6 +2157,12 @@ object SparkEntry {
          |       CAST(floor(score * 10000 + 0.5) AS BIGINT) AS q_scaled
          |FROM qs WHERE score >= 0.3
          |ORDER BY content_hash""".stripMargin,
+    // the streamed running cf ≡ the batch per-term corpus frequency
+    "stream_term_counts" ->
+      """SELECT term, count(*) AS cf FROM (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents WHERE trim(text) <> '')
+        |GROUP BY term ORDER BY term""".stripMargin,
     // collected_things results by type: 4 Crawled + 1 OtherContent +
     // 1 Redirect (the same rows ctResultValuesSql pins, aggregated)
     "stream_crawl" ->

@@ -64,6 +64,73 @@ object Search {
    * (id, n_terms_matched, score_fp); only docs matching ≥ 1 query term
    * appear.
    */
+  /** BM25 idf scale — smaller than [[Scale]] so the full per-term
+    * numerator idf_fp·22·tf stays in BIGINT: with Scale25 = 10^4 the
+    * envelope is tf·n_docs ≤ 4·10^13 (tf ≤ 4000 at 10^10 docs; a
+    * production engine past that envelope moves the score to
+    * DECIMAL(38,0), same arithmetic). */
+  val Scale25 = 10000L
+
+  /**
+   * BM25-weighted ranked retrieval (Robertson–Spärck Jones TF saturation
+   * with k1 = 1.2, b = 0.75), entirely in exact BIGINT arithmetic so the
+   * result is reproducible in any engine. Per matching (term, doc):
+   *
+   *   contribution = idf_fp · (k1+1)·tf / (tf + k1·(1−b) + k1·b·dl/avgdl)
+   *
+   * with dl = doc token count and avgdl = T/N (total tokens / indexed
+   * docs). Multiplying through by 10 and substituting avgdl clears every
+   * fraction to integers:
+   *
+   *   denom_fp = 10·tf + 3 + (9·dl·N) div T
+   *   contribution_fp = (idf_fp · 22 · tf) div denom_fp
+   *
+   * idf_fp = (N · Scale25) div df — the engine's fixed-point
+   * rank-monotone idf (BM25's log-idf is transcendental and therefore
+   * not bit-reproducible across engines; monotonicity in 1/df is what
+   * the ranking needs). The two floor divisions are part of the scoring
+   * DEFINITION, applied identically in the DuckDB oracle. Total order
+   * (score_fp desc, id asc). Returns (id, dl, n_terms_matched,
+   * score_fp).
+   */
+  def bm25TopK(docs: DataFrame, query: Seq[String], k: Int,
+               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(query.nonEmpty, "query must have at least one term")
+    require(k >= 1, "k must be >= 1")
+    val qt = query.distinct
+    // dl rides the explode (computed once per row from the token array),
+    // so the per-doc length never needs a corpus-wide join back
+    val toks = when(length(trim(coalesce(col(textCol), lit("")))) === 0,
+      array().cast("array<string>")).otherwise(split(trim(col(textCol)), "\\s+"))
+    val matches = docs
+      .select(col(idCol).as("id"), toks.as("_t"))
+      .filter(size(col("_t")) > 0)
+      .select(col("id"), size(col("_t")).cast("long").as("dl"),
+        explode(col("_t")).as("term"))
+      .filter(col("term").isin(qt: _*))
+      .groupBy("term", "id").agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+      .persist() // one corpus scan for the df branch AND the scoring join
+    // (n_docs, total_tokens) in ONE column-pruned pass, broadcast as a
+    // 1-row frame (the corpusStats pattern — no driver action)
+    val totals = docs
+      .select(when(length(trim(coalesce(col(textCol), lit("")))) === 0, lit(0L))
+        .otherwise(size(split(trim(col(textCol)), "\\s+")).cast("long")).as("dl0"))
+      .filter(col("dl0") > 0)
+      .agg(count(lit(1)).as("n_docs"), sum("dl0").as("t_tokens"))
+    val idf = matches.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(totals))
+      .withColumn("idf_fp", expr(s"(n_docs * ${Scale25}L) div df"))
+      .select("term", "idf_fp", "n_docs", "t_tokens")
+    matches.join(broadcast(idf), "term")
+      .withColumn("contrib_fp",
+        expr("(idf_fp * 22L * tf) div (10L * tf + 3L + (9L * dl * n_docs) div t_tokens)"))
+      .groupBy("id")
+      .agg(max("dl").as("dl"), count(lit(1)).as("n_terms_matched"),
+        sum("contrib_fp").as("score_fp"))
+      .orderBy(col("score_fp").desc, col("id"))
+      .limit(k)
+  }
+
   def tfidfTopK(docs: DataFrame, query: Seq[String], k: Int,
                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(query.nonEmpty, "query must have at least one term")

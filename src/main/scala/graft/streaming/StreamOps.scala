@@ -473,6 +473,27 @@ object StreamOps {
       }
   }
 
+  /**
+   * Streaming inverted-index maintenance: running per-term corpus
+   * frequencies over a document stream — the live counterpart of
+   * `Search.termStats`'s cf column (df needs per-(term, doc) dedup, a
+   * second stateful level; a streaming query keeps ONE stateful
+   * aggregation, so the live index serves cf and the periodic batch
+   * `Search.termStats` refresh remains the df authority). State is one
+   * long per distinct term (vocabulary-bounded, NOT corpus-bounded —
+   * ~65k rows however many docs stream through); Spark's streaming agg
+   * applies map-side partial counts per micro-batch, so each trigger
+   * shuffles at most |vocabulary| rows. Run with complete or update
+   * output mode. Input: a streaming frame with `textCol`; output
+   * (term, cf).
+   */
+  def termCountsStream(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .filter(length(trim(coalesce(col(textCol), lit("")))) > 0)
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("cf"))
+
   /** Tail a (possibly still-running) crawl checkpoint as a STREAM: each
     * committed round's results_inc parquet files arrive as new stream
     * input, so a live dashboard aggregates crawl progress without touching

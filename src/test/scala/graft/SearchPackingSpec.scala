@@ -174,6 +174,34 @@ class SearchPackingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("bm25 top-k matches a brute-force recompute; saturation and length norm hold") {
+    val q = Seq("spark", "window", "agg", "vector")
+    val all = docs.select("doc_id", "text").as[(Long, String)].collect()
+    val indexed = all.filter(_._2.trim.nonEmpty)
+      .map { case (id, t) => id -> t.trim.split("\\s+") }
+    val n = indexed.length.toLong
+    val tTok = indexed.map(_._2.length.toLong).sum
+    val tf = indexed.map { case (id, w) =>
+      (id, w.length.toLong, w.groupBy(identity).view.mapValues(_.length.toLong).toMap)
+    }
+    val df = q.map(t => t -> tf.count(_._3.contains(t)).toLong).toMap
+    val idf = df.collect { case (t, d) if d > 0 => t -> n * 10000L / d }
+    val want = tf.flatMap { case (id, dl, m) =>
+      val matched = q.distinct.filter(m.contains)
+      if (matched.isEmpty) None
+      else Some((id, dl, matched.size.toLong, matched.map { t =>
+        idf(t) * 22L * m(t) / (10L * m(t) + 3L + 9L * dl * n / tTok)
+      }.sum))
+    }.sortBy { case (id, _, _, s) => (-s, id) }.take(20).toSeq
+    val got = Search.bm25TopK(docs, q, k = 20).as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    // TF saturation: same idf, doubling tf gains less than double
+    val c = (t: Long, dl: Long) => 10000L * 22L * t / (10L * t + 3L + 9L * dl * n / tTok)
+    assert(c(8, 40) < 2 * c(4, 40) && c(8, 40) > c(4, 40))
+    // length normalization: same tf, longer doc scores no higher
+    assert(c(4, 200) <= c(4, 40))
+  }
+
   test("retrieval output is independent of input partitioning") {
     val a = Search.tfidfTopK(docs.repartition(1), Seq("spark", "table"), k = 15)
       .as[(Long, Long, Long)].collect().toSeq

@@ -180,6 +180,31 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("termCountsStream: running cf across batches equals the batch index") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.termCountsStream(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("termcf_out").outputMode("complete").start()
+    try {
+      input.addData((1L, "apple banana apple"), (2L, "banana cherry"), (3L, "   "))
+      q.processAllAvailable()
+      val mid = spark.table("termcf_out").as[(String, Long)].collect().toMap
+      assert(mid == Map("apple" -> 2L, "banana" -> 2L, "cherry" -> 1L))
+      // the running counts ACCUMULATE across micro-batches
+      input.addData((4L, "apple cherry cherry"), (5L, ""))
+      q.processAllAvailable()
+      val fin = spark.table("termcf_out").as[(String, Long)].collect().toMap
+      assert(fin == Map("apple" -> 3L, "banana" -> 2L, "cherry" -> 3L))
+      // equals the batch term-stats cf on the same corpus
+      val docs = Seq((1L, "apple banana apple"), (2L, "banana cherry"),
+        (3L, "   "), (4L, "apple cherry cherry"), (5L, "")).toDF("doc_id", "text")
+      val batch = graft.operators.Search.termStats(docs)
+        .select("term", "cf").as[(String, Long)].collect().toMap
+      assert(fin == batch)
+    } finally q.stop()
+  }
+
   test("sessionizeBatch: gaps-and-islands sessions, 30-min boundary inclusive") {
     import spark.implicits._
     def tsMin(m: Long) = new java.sql.Timestamp(1700000000000L + m * 60000L)
