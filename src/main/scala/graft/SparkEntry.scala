@@ -1250,6 +1250,32 @@ object SparkEntry {
   private val annIvfRecallSql =
     "SELECT * FROM (VALUES (CAST(10 AS BIGINT), true, true)) AS t(n_queries, mean_recall_ok, min_recall_ok)"
 
+  /** Inverted-index term statistics re-derived from scratch — shared by
+    * the from-scratch operator AND the persisted-index save+add path
+    * (segments are additive, so both must land here verbatim). */
+  private val termStatsSql =
+    """WITH tf AS (SELECT term, doc_id, count(*) AS tf FROM (
+      |        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |        FROM documents WHERE trim(text) <> '') GROUP BY term, doc_id)
+      |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+      |FROM tf GROUP BY term ORDER BY term""".stripMargin
+
+  /** Fixed-point TF-IDF top-k re-derived from scratch — shared by the
+    * from-scratch retrieval AND the persisted-index serving path. */
+  private val tfidfTopkSql =
+    """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |             FROM documents WHERE trim(text) <> ''),
+      |m AS (SELECT term, doc_id, count(*) AS tf FROM tok
+      |      WHERE term IN ('spark', 'window', 'agg', 'vector') GROUP BY term, doc_id),
+      |n AS (SELECT count(*) AS n_docs FROM documents WHERE trim(text) <> ''),
+      |idf AS (SELECT term, CAST((n.n_docs * 1000000) // count(*) AS BIGINT) AS idf_fp
+      |        FROM m, n GROUP BY term, n.n_docs)
+      |SELECT m.doc_id AS id, count(*) AS n_terms_matched,
+      |       CAST(sum(m.tf * i.idf_fp) AS BIGINT) AS score_fp
+      |FROM m JOIN idf i USING (term)
+      |GROUP BY m.doc_id
+      |ORDER BY score_fp DESC, id LIMIT 20""".stripMargin
+
   // -------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1739,6 +1765,23 @@ object SparkEntry {
     "search_bm25_topk" -> ((s, dir) =>
       Search.bm25TopK(s.read.parquet(s"$dir/documents.parquet"),
         Seq("spark", "window", "agg", "vector"), k = 20)),
+    // persisted-index lifecycle: save evens, incrementally ADD odds —
+    // segment-additive stats must equal the from-scratch index verbatim
+    "search_index_add" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-searchidx-").toString
+      Search.indexAppend(docs.filter(col("doc_id") % 2 === 0), idxDir)
+      Search.indexAppend(docs.filter(col("doc_id") % 2 === 1), idxDir)
+      Search.indexStats(s, idxDir).orderBy("term")
+    }),
+    // retrieval served FROM a persisted index (no corpus scan; term
+    // filter pushed to the postings parquet) ≡ from-scratch retrieval
+    "search_index_topk" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-searchidx-").toString
+      Search.indexAppend(docs, idxDir)
+      Search.indexSearch(s, idxDir, Seq("spark", "window", "agg", "vector"), k = 20)
+    }),
 
     // ---- link-graph analytics over the synthetic link graph ----
     // (edges deterministically derived from doc_id via splitmix64; the
@@ -2101,27 +2144,16 @@ object SparkEntry {
         |  FROM m)
         |ORDER BY doc_id""".stripMargin,
     // inverted-index term statistics re-derived from scratch
-    "search_term_stats" ->
-      """WITH tf AS (SELECT term, doc_id, count(*) AS tf FROM (
-        |        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
-        |        FROM documents WHERE trim(text) <> '') GROUP BY term, doc_id)
-        |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
-        |FROM tf GROUP BY term ORDER BY term""".stripMargin,
+    "search_term_stats" -> termStatsSql,
+    // the persisted index after save+incremental add must land on the
+    // identical from-scratch statistics (segments are additive)
+    "search_index_add" -> termStatsSql,
+    // retrieval served FROM the persisted index ≡ the from-scratch
+    // retrieval (same oracle)
+    "search_index_topk" -> tfidfTopkSql,
     // fixed-point TF-IDF retrieval re-derived from scratch: integral idf
     // (n_docs·10^6 // df), total order (score desc, id) pins the top-k cut
-    "search_tfidf_topk" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
-        |             FROM documents WHERE trim(text) <> ''),
-        |m AS (SELECT term, doc_id, count(*) AS tf FROM tok
-        |      WHERE term IN ('spark', 'window', 'agg', 'vector') GROUP BY term, doc_id),
-        |n AS (SELECT count(*) AS n_docs FROM documents WHERE trim(text) <> ''),
-        |idf AS (SELECT term, CAST((n.n_docs * 1000000) // count(*) AS BIGINT) AS idf_fp
-        |        FROM m, n GROUP BY term, n.n_docs)
-        |SELECT m.doc_id AS id, count(*) AS n_terms_matched,
-        |       CAST(sum(m.tf * i.idf_fp) AS BIGINT) AS score_fp
-        |FROM m JOIN idf i USING (term)
-        |GROUP BY m.doc_id
-        |ORDER BY score_fp DESC, id LIMIT 20""".stripMargin,
+    "search_tfidf_topk" -> tfidfTopkSql,
     // BM25 re-derived from scratch with the identical integer clearing
     "search_bm25_topk" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w

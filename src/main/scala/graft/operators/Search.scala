@@ -64,6 +64,72 @@ object Search {
    * (id, n_terms_matched, score_fp); only docs matching ≥ 1 query term
    * appear.
    */
+  // ---- persisted index: LSM-flavored postings segments -----------------
+
+  /**
+   * Append `docs` to the persisted index at `dir` as a NEW segment
+   * (`seg-00000`, `seg-00001`, …) — the first call creates the index.
+   * df/cf/N/T are all additive across disjoint doc sets, so an add never
+   * rewrites existing segments: add cost ∝ increment, the same LSM
+   * contract as the minhash segment index. Each segment holds
+   * `postings/` (term, id, tf) repartitioned by term and sorted within
+   * partitions by term — parquet row-group min/max stats then prune
+   * non-query terms at scan time — plus `docs/` (id, dl) for corpus
+   * scalars and BM25 length normalization. Caller contract: doc ids
+   * across segments are disjoint (re-adding a doc double-counts it, as
+   * in any postings-append index; run dedup upstream).
+   */
+  def indexAppend(docs: DataFrame, dir: String,
+                  textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    val next = Option(d.listFiles()).map(_.count(_.getName.startsWith("seg-"))).getOrElse(0)
+    val seg = f"$dir/seg-$next%05d"
+    postings(docs, textCol, idCol)
+      .repartition(col("term")).sortWithinPartitions("term")
+      .write.mode("errorifexists").parquet(s"$seg/postings")
+    docs.select(col(idCol).as("id"),
+      when(length(trim(coalesce(col(textCol), lit("")))) === 0, lit(0L))
+        .otherwise(size(split(trim(col(textCol)), "\\s+")).cast("long")).as("dl"))
+      .filter(col("dl") > 0)
+      .write.mode("errorifexists").parquet(s"$seg/docs")
+  }
+
+  /** Term statistics of the PERSISTED index — identical shape to
+    * [[termStats]]; one aggregation over all segments' postings. */
+  def indexStats(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/seg-*/postings")
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+
+  /**
+   * [[tfidfTopK]] served from the persisted index — NO corpus scan: the
+   * term filter pushes down to the postings parquet (row-group-pruned by
+   * the per-segment term sort), and the corpus size comes from the tiny
+   * `docs/` sidecars. Scores are identical to the from-scratch operator
+   * by construction (same integral arithmetic over the same postings).
+   */
+  def indexSearch(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  query: Seq[String], k: Int): DataFrame = {
+    require(query.nonEmpty && k >= 1)
+    val qt = query.distinct
+    val matches = spark.read.parquet(s"$dir/seg-*/postings")
+      .filter(col("term").isin(qt: _*))
+      .persist() // df branch + scoring join share one (pruned) read
+    val nDocs = spark.read.parquet(s"$dir/seg-*/docs")
+      .agg(count(lit(1)).as("n_docs"))
+    val idf = matches.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf_fp", expr(s"(n_docs * ${Scale}L) div df"))
+      .select("term", "idf_fp")
+    matches.join(broadcast(idf), "term")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_terms_matched"),
+        sum(col("tf") * col("idf_fp")).as("score_fp"))
+      .orderBy(col("score_fp").desc, col("id"))
+      .limit(k)
+  }
+
   /** BM25 idf scale — smaller than [[Scale]] so the full per-term
     * numerator idf_fp·22·tf stays in BIGINT: with Scale25 = 10^4 the
     * envelope is tf·n_docs ≤ 4·10^13 (tf ≤ 4000 at 10^10 docs; a

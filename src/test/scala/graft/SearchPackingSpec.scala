@@ -202,6 +202,30 @@ class SearchPackingSpec extends AnyFunSuite {
     assert(c(4, 200) <= c(4, 40))
   }
 
+  test("persisted index: save + incremental add equals from-scratch; pruned serving") {
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-idx-test-").toString
+    Search.indexAppend(docs.filter(col("doc_id") % 2 === 0), idxDir)
+    Search.indexAppend(docs.filter(col("doc_id") % 2 === 1), idxDir)
+    val fromIdx = Search.indexStats(spark, idxDir)
+      .orderBy("term").as[(String, Long, Long)].collect().toSeq
+    val scratch = Search.termStats(docs)
+      .orderBy("term").as[(String, Long, Long)].collect().toSeq
+    assert(fromIdx == scratch)
+    // serving from the index ≡ the from-scratch retrieval
+    val q = Seq("spark", "window", "agg")
+    val served = Search.indexSearch(spark, idxDir, q, k = 15)
+      .as[(Long, Long, Long)].collect().toSeq
+    val direct = Search.tfidfTopK(docs, q, k = 15)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(served == direct)
+    // plan guards: the term filter reaches the postings parquet scan, and
+    // top-k is a TakeOrdered (never a full sort)
+    val plan = Search.indexSearch(spark, idxDir, q, k = 15)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(term"), plan.take(800))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+  }
+
   test("retrieval output is independent of input partitioning") {
     val a = Search.tfidfTopK(docs.repartition(1), Seq("spark", "table"), k = 15)
       .as[(Long, Long, Long)].collect().toSeq
