@@ -1049,6 +1049,76 @@ object ScalingBench {
         s""""digest":${cum.getLong(2)},"sample_sec":${f"$sampleSec%.2f"},""" +
         s""""sampled":$sampled,"task_sec":${f"$taskSec%.1f"},"exact_checks":"passed"}""")
 
+    case "curate" :: cpusStr :: nStr :: Nil =>
+      // The full corpus-curation pipeline END TO END at scale: quality
+      // rules → exact dedup survivors → contiguous token-stream shards →
+      // persisted inverted index → ranked retrieval, each stage timed,
+      // each count printed — the composition story, not a single
+      // operator. Exactness asserts run in-line (shard fill from the
+      // survivor token totals, retrieval from the persisted index equals
+      // the from-scratch operator on the same survivors).
+      val cpus = cpusStr.toInt
+      val n = nStr.toLong
+      val s = Bench.buildSession(cpus, s"graft-curate-$cpus")
+      import org.apache.spark.sql.functions._
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val docs = graft.sources.DocsGen.docs(s, n, cpus * 4).persist(lvl)
+      docs.count() // generation excluded
+      def timed[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+      }
+      // stage 1: Gopher-style quality gate (DocsGen words are 3-6 chars,
+      // 48/doc → the word-count and mean-len rules bind; stop-word rule
+      // is vacuous on synthetic text, so gate on the structural rules)
+      val (kept, qSec) = timed {
+        val g = graft.operators.TextAnalysis.gopherRules(docs, minWords = 30)
+        val k = docs.join(
+          g.filter(col("ok_words") && col("ok_mean_len") && col("ok_symbol") &&
+            col("ok_alpha")).select("doc_id"), "doc_id").persist(lvl)
+        k.count(); k
+      }
+      // stage 2: NEAR-dup dedup — minhash+LSH pairs → connected-component
+      // clusters → canonical survivor per cluster (DocsGen plants 3 mutants
+      // per base doc, so this stage genuinely shrinks the corpus ~15%)
+      val (surv, dSec) = timed {
+        val pairs = graft.operators.Dedup.minhashLshPairs(kept, threshold = 0.3)
+        // drop non-canonical clustered docs; singletons (never paired)
+        // survive by absence — anti-join keeps them without a union
+        val nonCanon = graft.operators.Dedup.nearDupClusters(pairs)
+          .filter(!col("is_canonical")).select(col("id").as("doc_id"))
+        val sv = kept.join(nonCanon, Seq("doc_id"), "left_anti").persist(lvl)
+        sv.count(); sv
+      }
+      // stage 3: token-stream shards over the survivors
+      val ((nShards, totalTok), pSec) = timed {
+        val sh = graft.operators.Packing.tokenShards(surv, capacity = 2048)
+        val row = sh.agg(max("shard_last").as("m"),
+          sum("n_tokens").as("t")).head()
+        (row.getLong(0) + 1, row.getLong(1))
+      }
+      require(nShards == (totalTok + 2047) / 2048, "shard count ≡ ceil(totalTok/capacity)")
+      // stage 4: persist the inverted index (segments to local disk)
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-curate-idx-").toString
+      val (_, iSec) = timed(graft.operators.Search.indexAppend(surv, idxDir))
+      // stage 5: ranked retrieval FROM the index; must equal from-scratch
+      val qTerms = surv.orderBy("doc_id").head().getString(1).split("\\s+").take(4).toSeq
+      val (topIdx, sSec) = timed(
+        graft.operators.Search.indexSearch(s, idxDir, qTerms, k = 50).collect().toSeq)
+      val direct = graft.operators.Search.tfidfTopK(surv, qTerms, k = 50)
+        .collect().toSeq
+      require(topIdx.map(r => (r.getLong(0), r.getLong(2))) ==
+        direct.map(r => (r.getLong(0), r.getLong(2))), "index serve ≡ from-scratch")
+      val nKept = kept.count(); val nSurv = surv.count()
+      s.stop()
+      deleteRec(idxDir)
+      println(
+        s"""{"metric":"curate_scale","cpus":$cpus,"n":$n,"kept":$nKept,"survivors":$nSurv,""" +
+        s""""total_tokens":$totalTok,"shards":$nShards,""" +
+        s""""quality_sec":${f"$qSec%.2f"},"dedup_sec":${f"$dSec%.2f"},"shards_sec":${f"$pSec%.2f"},""" +
+        s""""index_sec":${f"$iSec%.2f"},"search_sec":${f"$sSec%.2f"},""" +
+        s""""total_sec":${f"${qSec + dSec + pSec + iSec + sSec}%.2f"},""" +
+        s""""docs_per_sec":${f"${n / (qSec + dSec + pSec + iSec + sSec)}%.1f"},"exact_checks":"passed"}""")
+
     case "control" :: threadsStr :: rest if rest.size <= 1 =>
       // Pure-JVM control: the tokenizer kernel across a thread pool —
       // measures THIS VM's thread-scaling ceiling so the crawl's scaling can

@@ -1256,7 +1256,8 @@ object SparkEntry {
   private val termStatsSql =
     """WITH tf AS (SELECT term, doc_id, count(*) AS tf FROM (
       |        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
-      |        FROM documents WHERE trim(text) <> '') GROUP BY term, doc_id)
+      |        FROM documents WHERE trim(text) <> '')
+      |      WHERE term <> '' GROUP BY term, doc_id)
       |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
       |FROM tf GROUP BY term ORDER BY term""".stripMargin
 
@@ -1266,7 +1267,7 @@ object SparkEntry {
     """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
       |             FROM documents WHERE trim(text) <> ''),
       |m AS (SELECT term, doc_id, count(*) AS tf FROM tok
-      |      WHERE term IN ('spark', 'window', 'agg', 'vector') GROUP BY term, doc_id),
+      |      WHERE term <> '' AND term IN ('spark', 'window', 'agg', 'vector') GROUP BY term, doc_id),
       |n AS (SELECT count(*) AS n_docs FROM documents WHERE trim(text) <> ''),
       |idf AS (SELECT term, CAST((n.n_docs * 1000000) // count(*) AS BIGINT) AS idf_fp
       |        FROM m, n GROUP BY term, n.n_docs)
@@ -1765,6 +1766,20 @@ object SparkEntry {
     "search_bm25_topk" -> ((s, dir) =>
       Search.bm25TopK(s.read.parquet(s"$dir/documents.parquet"),
         Seq("spark", "window", "agg", "vector"), k = 20)),
+    // crawl → extract → index, end to end: the Crawled result urls join
+    // back to their page bytes, the engine's extractor produces the text,
+    // and the inverted index is built over it. The oracle is HAND-pinned
+    // from the fixture HTML (reference anchor-text semantics): /start has
+    // 6 "Interesting" anchors; /another, /third, /relative one
+    // "Something" each → {Interesting: df 1 cf 6; Something: df 3 cf 3}
+    "pipeline_search_e2e" -> ((s, _) => {
+      val crawled = crawlRun(s, CT).resultFor(CT)
+        .filter(col("result_type") === "Crawled").select("url")
+      val docs = crawled.join(PagesGen.fixtures(s), "url")
+        .select(col("url").as("doc_id"),
+          coalesce(GraftFunctions.extract_text_http(col("html")), lit("")).as("text"))
+      Search.termStats(docs).orderBy("term")
+    }),
     // persisted-index lifecycle: save evens, incrementally ADD odds —
     // segment-additive stats must equal the from-scratch index verbatim
     "search_index_add" -> ((s, dir) => {
@@ -2148,6 +2163,10 @@ object SparkEntry {
     // the persisted index after save+incremental add must land on the
     // identical from-scratch statistics (segments are additive)
     "search_index_add" -> termStatsSql,
+    // hand-derived from the fixture HTML (never from the extractor)
+    "pipeline_search_e2e" ->
+      ("SELECT * FROM (VALUES ('Interesting', CAST(1 AS BIGINT), CAST(6 AS BIGINT)), " +
+        "('Something', CAST(3 AS BIGINT), CAST(3 AS BIGINT))) AS t(term, df, cf) ORDER BY term"),
     // retrieval served FROM the persisted index ≡ the from-scratch
     // retrieval (same oracle)
     "search_index_topk" -> tfidfTopkSql,
@@ -2160,7 +2179,7 @@ object SparkEntry {
         |           FROM documents WHERE trim(text) <> ''),
         |tok AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM d),
         |m AS (SELECT term, doc_id, count(*) AS tf, max(dl) AS dl FROM tok
-        |      WHERE term IN ('spark', 'window', 'agg', 'vector') GROUP BY term, doc_id),
+        |      WHERE term <> '' AND term IN ('spark', 'window', 'agg', 'vector') GROUP BY term, doc_id),
         |tot AS (SELECT count(*) AS n_docs, CAST(sum(len(w)) AS BIGINT) AS t_tokens FROM d),
         |idf AS (SELECT term, CAST((t.n_docs * 10000) // count(*) AS BIGINT) AS idf_fp,
         |               t.n_docs, t.t_tokens
@@ -2194,7 +2213,7 @@ object SparkEntry {
       """SELECT term, count(*) AS cf FROM (
         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
         |  FROM documents WHERE trim(text) <> '')
-        |GROUP BY term ORDER BY term""".stripMargin,
+        |WHERE term <> '' GROUP BY term ORDER BY term""".stripMargin,
     // collected_things results by type: 4 Crawled + 1 OtherContent +
     // 1 Redirect (the same rows ctResultValuesSql pins, aggregated)
     "stream_crawl" ->

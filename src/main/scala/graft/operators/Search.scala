@@ -40,6 +40,11 @@ object Search {
     docs.filter(length(trim(coalesce(col(textCol), lit("")))) > 0)
       .select(col(idCol).as("id"),
         explode(split(trim(col(textCol)), "\\s+")).as("term"))
+      // SQL trim strips only ' ': text that STARTS with \n or \t still
+      // splits to a leading "" element — an empty string is not a term
+      // (found live on crawl-extracted HTML text; the oracles carry the
+      // matching term <> '' guard)
+      .filter(col("term") =!= "")
 
   /** The postings relation (term, id, tf) — one (id, term)-keyed shuffle
     * with map-side partial counts at any corpus size. */
@@ -173,7 +178,7 @@ object Search {
       .filter(size(col("_t")) > 0)
       .select(col("id"), size(col("_t")).cast("long").as("dl"),
         explode(col("_t")).as("term"))
-      .filter(col("term").isin(qt: _*))
+      .filter(col("term") =!= "" && col("term").isin(qt: _*))
       .groupBy("term", "id").agg(count(lit(1)).as("tf"), max("dl").as("dl"))
       .persist() // one corpus scan for the df branch AND the scoring join
     // (n_docs, total_tokens) in ONE column-pruned pass, broadcast as a

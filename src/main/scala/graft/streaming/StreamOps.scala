@@ -491,7 +491,8 @@ object StreamOps {
     docs
       .filter(length(trim(coalesce(col(textCol), lit("")))) > 0)
       .select(explode(split(trim(col(textCol)), "\\s+")).as("term"))
-      .groupBy("term")
+      .filter(col("term") =!= "") // trim strips only ' '; \n-led text
+      .groupBy("term")            // splits to a leading "" non-term
       .agg(count(lit(1)).as("cf"))
 
   /** Tail a (possibly still-running) crawl checkpoint as a STREAM: each
