@@ -1766,6 +1766,11 @@ object SparkEntry {
     "search_bm25_topk" -> ((s, dir) =>
       Search.bm25TopK(s.read.parquet(s"$dir/documents.parquet"),
         Seq("spark", "window", "agg", "vector"), k = 20)),
+    // exact phrase search: positional self-join on p_{i+1} = p_i + 1,
+    // all-integer counts, total order (phrase_tf desc, id)
+    "search_phrase_topk" -> ((s, dir) =>
+      Search.phraseTopK(s.read.parquet(s"$dir/documents.parquet"),
+        Seq("table", "part"), k = 20)),
     // crawl → extract → index, end to end: the Crawled result urls join
     // back to their page bytes, the engine's extractor produces the text,
     // and the inverted index is built over it. The oracle is HAND-pinned
@@ -2163,6 +2168,18 @@ object SparkEntry {
     // the persisted index after save+incremental add must land on the
     // identical from-scratch statistics (segments are additive)
     "search_index_add" -> termStatsSql,
+    // positional phrase count re-derived with 1-based subscripts (only
+    // RELATIVE positions matter, so the base offset cancels)
+    "search_phrase_topk" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |           FROM documents WHERE trim(text) <> ''),
+        |p AS (SELECT doc_id, j AS pos, w[j] AS term
+        |      FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS j FROM w)),
+        |a AS (SELECT doc_id, pos AS p0 FROM p WHERE term = 'table'),
+        |b AS (SELECT doc_id, pos - 1 AS p0 FROM p WHERE term = 'part')
+        |SELECT a.doc_id AS id, count(*) AS phrase_tf
+        |FROM a JOIN b USING (doc_id, p0)
+        |GROUP BY a.doc_id ORDER BY phrase_tf DESC, id LIMIT 20""".stripMargin,
     // hand-derived from the fixture HTML (never from the extractor)
     "pipeline_search_e2e" ->
       ("SELECT * FROM (VALUES ('Interesting', CAST(1 AS BIGINT), CAST(6 AS BIGINT)), " +

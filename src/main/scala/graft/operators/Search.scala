@@ -100,6 +100,42 @@ object Search {
       .write.mode("errorifexists").parquet(s"$seg/docs")
   }
 
+  /**
+   * LSM compaction for the persisted index: merge all current segments
+   * into one (summing tf for doc-term pairs that would appear in
+   * several segments, though the disjoint-ids contract makes that
+   * vacuous), written as a NEW segment; old segment dirs are swapped
+   * out only after the merged one is fully written (crash before the
+   * swap leaves the old segments intact and readable — the TableIO
+   * commit ordering). Many small adds → one read-optimized segment;
+   * query results are identical before and after by construction
+   * (df/cf/score are sums over the same postings multiset).
+   */
+  def indexCompact(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val d = new java.io.File(dir)
+    val segs = Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("seg-")).sortBy(_.getName)
+    if (segs.length <= 1) return
+    val tmpPost = s"$dir/compact-tmp/postings"
+    val tmpDocs = s"$dir/compact-tmp/docs"
+    spark.read.parquet(segs.map(f => s"${f.getPath}/postings"): _*)
+      .groupBy("term", "id").agg(sum("tf").as("tf"))
+      .repartition(col("term")).sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(tmpPost)
+    spark.read.parquet(segs.map(f => s"${f.getPath}/docs"): _*)
+      .write.mode("overwrite").parquet(tmpDocs)
+    // swap: the merged segment becomes seg-00000 of a fresh generation
+    segs.foreach { f =>
+      val st = java.nio.file.Files.walk(f.toPath)
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(st.iterator()).asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally st.close()
+    }
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$dir/compact-tmp"),
+      java.nio.file.Paths.get(s"$dir/seg-00000"))
+  }
+
   /** Term statistics of the PERSISTED index — identical shape to
     * [[termStats]]; one aggregation over all segments' postings. */
   def indexStats(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
@@ -132,6 +168,40 @@ object Search {
       .agg(count(lit(1)).as("n_terms_matched"),
         sum(col("tf") * col("idf_fp")).as("score_fp"))
       .orderBy(col("score_fp").desc, col("id"))
+      .limit(k)
+  }
+
+  /**
+   * Exact phrase search: top-`k` docs by occurrence count of the exact
+   * consecutive-token `phrase`. ONE posexplode pass filtered to the
+   * phrase's terms (only those positions leave the scan stage), then a
+   * per-doc positional self-join per adjacent word pair — position
+   * arithmetic (p_{i+1} = p_i + 1) on (id, pos)-keyed frames whose size
+   * is the phrase terms' postings, not the corpus. All-integer output
+   * (id, phrase_tf); total order (phrase_tf desc, id). Duplicate words
+   * in the phrase are handled naturally (positions are distinct even
+   * when terms repeat).
+   */
+  def phraseTopK(docs: DataFrame, phrase: Seq[String], k: Int,
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(phrase.size >= 2, "phrase needs at least two words")
+    require(k >= 1)
+    val toks = when(length(trim(coalesce(col(textCol), lit("")))) === 0,
+      array().cast("array<string>")).otherwise(split(trim(col(textCol)), "\\s+"))
+    val positions = docs
+      .select(col(idCol).as("id"), posexplode(toks).as(Seq("pos", "term")))
+      .filter(col("term").isin(phrase.distinct: _*))
+      .persist() // each adjacent-pair join reads this once
+    val first = positions.filter(col("term") === phrase.head)
+      .select(col("id"), col("pos").as("p0"))
+    val matched = phrase.zipWithIndex.tail.foldLeft(first) { case (acc, (w, i)) =>
+      acc.join(
+        positions.filter(col("term") === w)
+          .select(col("id"), (col("pos") - i).as("p0")),
+        Seq("id", "p0"))
+    }
+    matched.groupBy("id").agg(count(lit(1)).as("phrase_tf"))
+      .orderBy(col("phrase_tf").desc, col("id"))
       .limit(k)
   }
 

@@ -224,6 +224,51 @@ class SearchPackingSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [In(term"), plan.take(800))
     assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    // compaction: many segments -> one, stats and serving unchanged
+    Search.indexCompact(spark, idxDir)
+    val segs = new java.io.File(idxDir).listFiles().map(_.getName).filter(_.startsWith("seg-"))
+    assert(segs.toSeq == Seq("seg-00000"))
+    assert(Search.indexStats(spark, idxDir)
+      .orderBy("term").as[(String, Long, Long)].collect().toSeq == scratch)
+    assert(Search.indexSearch(spark, idxDir, q, k = 15)
+      .as[(Long, Long, Long)].collect().toSeq == served)
+    // a post-compaction add opens a new generation that still reads whole
+    Search.indexAppend(Seq((100000L, "spark spark unique")).toDF("doc_id", "text"), idxDir)
+    val cf = Search.indexStats(spark, idxDir).filter(col("term") === "spark")
+      .as[(String, Long, Long)].head()
+    val base = scratch.find(_._1 == "spark").get
+    assert(cf == (("spark", base._2 + 1, base._3 + 2)))
+  }
+
+  test("phrase search: exact consecutive matches, overlaps, repeated words") {
+    val corpus = Seq(
+      (0L, "big data big data big"),    // "big data" x2
+      (1L, "data big data"),            // x1
+      (2L, "big big big"),              // "big big" x2 (overlapping)
+      (3L, "data data"),                // no "big data"
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val bd = Search.phraseTopK(corpus, Seq("big", "data"), k = 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(bd == Seq((0L, 2L), (1L, 1L)))
+    // a repeated-word phrase counts overlapping occurrences positionally
+    val bb = Search.phraseTopK(corpus, Seq("big", "big"), k = 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(bb == Seq((2L, 2L)))
+    // three-word phrase
+    val bdb = Search.phraseTopK(corpus, Seq("big", "data", "big"), k = 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(bdb == Seq((0L, 2L)))
+    // brute-force equality on the documents table
+    val all = docs.select("doc_id", "text").as[(Long, String)].collect()
+    val want = all.flatMap { case (id, t) =>
+      val w = t.trim.split("\\s+")
+      val n = w.sliding(2).count(s => s.length == 2 && s(0) == "table" && s(1) == "part")
+      if (n > 0) Some((id, n.toLong)) else None
+    }.sortBy { case (id, n) => (-n, id) }.take(10).toSeq
+    val got = Search.phraseTopK(docs, Seq("table", "part"), k = 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == want)
   }
 
   test("retrieval output is independent of input partitioning") {
