@@ -1745,6 +1745,11 @@ object SparkEntry {
     "corpus_shard_slices" -> ((s, dir) =>
       Packing.shardSlices(s.read.parquet(s"$dir/documents.parquet"), capacity = 256)
         .orderBy("shard", "doc_id")),
+    // RAG-style overlapping token chunks (32-token windows, stride 16) —
+    // the retrieval-corpus prep before embedding; row-local, no shuffle
+    "corpus_chunks" -> ((s, dir) =>
+      Packing.tokenChunks(s.read.parquet(s"$dir/documents.parquet"),
+        chunkTokens = 32, stride = 16).orderBy("doc_id", "chunk_id")),
 
     // Gopher-style quality rules (Rae et al. 2021 §A.2): every ratio
     // threshold cross-multiplied into exact integer comparisons — the
@@ -2163,6 +2168,19 @@ object SparkEntry {
         |    (n_stopword_hits >= 2) AS ok_stop
         |  FROM m)
         |ORDER BY doc_id""".stripMargin,
+    // overlapping chunk windows re-derived with 1-based list slicing;
+    // chunk_text re-joined single-space in both engines
+    "corpus_chunks" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |           FROM documents WHERE trim(text) <> ''),
+        |e AS (SELECT doc_id, w, len(w) AS n,
+        |        unnest(range(0, (len(w) - 1) // 16 + 1)) AS chunk_id FROM d)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |       CAST(chunk_id * 16 AS BIGINT) AS chunk_start,
+        |       CAST(least(32, n - chunk_id * 16) AS BIGINT) AS chunk_len,
+        |       array_to_string(list_slice(w, chunk_id * 16 + 1,
+        |         chunk_id * 16 + least(32, n - chunk_id * 16)), ' ') AS chunk_text
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
     // inverted-index term statistics re-derived from scratch
     "search_term_stats" -> termStatsSql,
     // the persisted index after save+incremental add must land on the

@@ -161,6 +161,42 @@ object Packing {
           greatest(col("shard") * capacity - col("start_off"), lit(0L))).as("slice_len"))
 
   /**
+   * RAG-style overlapping token chunking: each doc's token sequence is
+   * cut into windows of `chunkTokens` advancing by `stride` (< chunk ⇒
+   * overlap), the retrieval-corpus preparation step before embedding.
+   * Chunk starts are 0, stride, 2·stride, … while start < n_tokens (a
+   * final short window keeps the doc tail; a doc shorter than one chunk
+   * yields exactly one chunk). Returns (id, chunk_id, chunk_start,
+   * chunk_len, chunk_text) — chunk_text re-joined with single spaces
+   * (the whitespace-token convention: original spacing is not
+   * reconstructable, and the single-space join is the deterministic
+   * canonical form both engines produce). Entirely row-local
+   * (sequence + transform + slice + array_join, codegen'd, no UDF, no
+   * shuffle at any corpus size); explode factor ≈ n_tokens/stride.
+   */
+  def tokenChunks(docs: DataFrame, chunkTokens: Int, stride: Int,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(chunkTokens >= 1 && stride >= 1 && stride <= chunkTokens,
+      "need 1 <= stride <= chunkTokens")
+    val toks = when(length(trim(coalesce(col(textCol), lit("")))) === 0,
+      array().cast("array<string>")).otherwise(split(trim(col(textCol)), "\\s+"))
+    docs.select(col(idCol), toks.as("_t"))
+      .filter(size(col("_t")) > 0)
+      .select(col(idCol), col("_t"), size(col("_t")).cast("long").as("n_tokens"))
+      // chunk count = 1 + floor((n_tokens - 1) / stride) clamped so the
+      // last window STARTS inside the doc
+      .withColumn("chunk_id",
+        explode(sequence(lit(0L), expr(s"(n_tokens - 1) div ${stride}L"))))
+      .select(col(idCol), col("chunk_id"),
+        (col("chunk_id") * stride).as("chunk_start"),
+        least(lit(chunkTokens.toLong), col("n_tokens") - col("chunk_id") * stride)
+          .as("chunk_len"),
+        array_join(slice(col("_t"), (col("chunk_id") * stride + 1).cast("int"),
+          least(lit(chunkTokens), (col("n_tokens") - col("chunk_id") * stride).cast("int"))),
+          " ").as("chunk_text"))
+  }
+
+  /**
    * Systematic sampling over the cumulative-weight axis: doc d with
    * weight interval (cum − w, cum] is selected iff the interval contains
    * a multiple of `step` — i.e. `cum div step > (cum − w) div step` (all

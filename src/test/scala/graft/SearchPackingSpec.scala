@@ -93,6 +93,35 @@ class SearchPackingSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenChunks: overlap, tails, short docs, text reconstruction") {
+    val corpus = Seq(
+      (0L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (1L, "a b c"),                                  // shorter than one chunk
+      (2L, ""), (3L, "   ")                           // no chunks
+    ).toDF("doc_id", "text")
+    val out = Packing.tokenChunks(corpus, chunkTokens = 8, stride = 4)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (0L, 0L, 0L, 8L, (1 to 8).map(i => s"w$i").mkString(" ")),
+      (0L, 1L, 4L, 6L, (5 to 10).map(i => s"w$i").mkString(" ")),
+      (0L, 2L, 8L, 2L, "w9 w10"),
+      (1L, 0L, 0L, 3L, "a b c")))
+    // every token position is covered by at least one chunk; stride
+    // overlap means interior positions appear in ≥ 2 chunks
+    val cov = out.filter(_._1 == 0L).flatMap(c => c._3 until (c._3 + c._4))
+    assert(cov.toSet == (0L until 10L).toSet)
+    assert(cov.groupBy(identity).count(_._2.size >= 2) >= 6)
+    // real-table sanity: chunk texts re-join to the doc's token stream
+    val doc = docs.orderBy("doc_id").select("doc_id", "text").as[(Long, String)].head()
+    val chunks = Packing.tokenChunks(docs.filter(col("doc_id") === doc._1), 32, 16)
+      .orderBy("chunk_id").as[(Long, Long, Long, Long, String)].collect()
+    val toks = doc._2.trim.split("\\s+")
+    chunks.foreach { c =>
+      assert(c._5 == toks.slice(c._3.toInt, (c._3 + c._4).toInt).mkString(" "))
+    }
+  }
+
   // ---- Packing.systematicWeightedSample -------------------------------
 
   test("weighted sample: exactly totalW/step docs, brute-force membership") {
