@@ -1049,6 +1049,53 @@ object ScalingBench {
         s""""digest":${cum.getLong(2)},"sample_sec":${f"$sampleSec%.2f"},""" +
         s""""sampled":$sampled,"task_sec":${f"$taskSec%.1f"},"exact_checks":"passed"}""")
 
+    case "curation_ops" :: cpusStr :: nStr :: Nil =>
+      // The round-5 curation additions at scale: the deterministic
+      // training-order shuffle (distributed prefix-scan rank over the
+      // hash axis), the salted per-language top-k cut, and the
+      // vocab-coverage OOV probe — each timed with a bit_xor digest so
+      // cross-parallelism bit-identity is asserted by the recorded JSON,
+      // plus in-run exactness checks (pos is a 0..n-1 bijection: count,
+      // min, max, and sum all pinned; top-k rank bounds; OOV ≤ tokens).
+      val cpus = cpusStr.toInt
+      val n = nStr.toLong
+      val s = Bench.buildSession(cpus, s"graft-curation-ops-$cpus")
+      import org.apache.spark.sql.functions._
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val docs = graft.sources.DocsGen.docs(s, n, cpus * 4).persist(lvl)
+      docs.count() // generation excluded from the timed section
+      val acc = new TaskTimeAcc
+      s.sparkContext.addSparkListener(acc)
+      def timed[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+      }
+      val (shufRow, shufSec) = timed(
+        graft.operators.Sampling.hashShuffle(docs)
+          .agg(count(lit(1)).as("rows"), min("pos").as("mn"), max("pos").as("mx"),
+            sum("pos").as("sm"), expr("bit_xor(xxhash64(doc_id, pos))").as("digest")).head())
+      require(shufRow.getLong(0) == n && shufRow.getLong(1) == 0L &&
+        shufRow.getLong(2) == n - 1 && shufRow.getLong(3) == n * (n - 1) / 2,
+        "shuffle pos must be a 0..n-1 bijection")
+      val (topRow, topSec) = timed(
+        graft.operators.TextAnalysis.langTopK(docs, k = 100)
+          .agg(count(lit(1)).as("rows"), max("rk").as("mxrk"),
+            expr("bit_xor(xxhash64(lang_pred, rk, doc_id, q_scaled))").as("digest")).head())
+      require(topRow.getLong(1) <= 100L, "rank bound")
+      val (vocRow, vocSec) = timed(
+        graft.operators.TextAnalysis.vocabCoverage(docs, vocabSize = 1000)
+          .agg(count(lit(1)).as("rows"), sum("n_tokens").as("tok"), sum("n_oov").as("oov"),
+            expr("bit_xor(xxhash64(doc_id, n_tokens, n_oov))").as("digest")).head())
+      require(vocRow.getLong(0) == n && vocRow.getLong(2) <= vocRow.getLong(1),
+        "every doc reported; OOV ≤ tokens")
+      s.stop()
+      val taskSec = acc.ms.get() / 1e3
+      println(
+        s"""{"metric":"curation_ops_scale","cpus":$cpus,"n":$n,""" +
+        s""""shuffle_sec":${f"$shufSec%.2f"},"shuffle_digest":${shufRow.getLong(4)},""" +
+        s""""topk_sec":${f"$topSec%.2f"},"topk_rows":${topRow.getLong(0)},"topk_digest":${topRow.getLong(2)},""" +
+        s""""vocab_sec":${f"$vocSec%.2f"},"vocab_oov":${vocRow.getLong(2)},"vocab_digest":${vocRow.getLong(3)},""" +
+        s""""task_sec":${f"$taskSec%.1f"},"exact_checks":"passed"}""")
+
     case "curate" :: cpusStr :: nStr :: Nil =>
       // The full corpus-curation pipeline END TO END at scale: quality
       // rules → exact dedup survivors → contiguous token-stream shards →

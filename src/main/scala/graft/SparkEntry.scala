@@ -793,6 +793,52 @@ object SparkEntry {
        |WHERE m5.bucket < CASE WHEN l.lang_pred = 'en' THEN 600000 ELSE 100000 END
        |ORDER BY m5.doc_id""".stripMargin
 
+  /** Training-order shuffle oracle: splitmix64(doc_id) recomputed in
+    * HUGEINT SQL (mix64Chain), the signed key = unsigned hash − 2^63
+    * (exactly Spark's `mix64 ^ Long.MinValue` sign-bit flip), and the
+    * 0-based rank over the (hash, doc_id) total order. Pure integer
+    * arithmetic end to end — engine-version-portable by construction. */
+  private val corpusShuffleSql =
+    s"""WITH ${mix64Chain("documents", Seq("doc_id"), "doc_id", "h", "sh")}
+       |SELECT doc_id,
+       |  CAST(CAST(h AS HUGEINT) - 9223372036854775808 AS BIGINT) AS shuffle_key,
+       |  row_number() OVER (ORDER BY h, doc_id) - 1 AS pos
+       |FROM sh5 ORDER BY doc_id""".stripMargin
+
+  /** Vocab-coverage oracle: same whitespace tokenization as the token
+    * oracles, top-16 vocabulary by (count desc, token asc), per-doc
+    * integral OOV counts; empty docs keep their (0, 0) row. */
+  private val vocabCoverageSql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents WHERE trim(text) <> ''),
+      |vocab AS (
+      |  SELECT tok FROM (SELECT tok, count(*) AS n FROM tok GROUP BY tok
+      |                   ORDER BY n DESC, tok LIMIT 16)),
+      |per AS (
+      |  SELECT t.doc_id, count(*) AS n_tokens,
+      |         sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov
+      |  FROM tok t LEFT JOIN vocab v ON t.tok = v.tok GROUP BY t.doc_id)
+      |SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens,
+      |       coalesce(p.n_oov, 0) AS n_oov
+      |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** Per-language top-k oracle: the langIdSql assignment joined to the
+    * shared quality chain, ranked per language over the identical
+    * (q_scaled desc, doc_id asc) total order. */
+  private lazy val corpusLangTopkSql =
+    s"""WITH lq AS (
+       |  SELECT l.doc_id, l.lang_pred, q.quality_score_scaled AS q_scaled
+       |  FROM ($langIdSql) l JOIN ($qualitySql) q USING (doc_id)),
+       |r AS (
+       |  SELECT lang_pred, doc_id, q_scaled,
+       |         row_number() OVER (PARTITION BY lang_pred
+       |                            ORDER BY q_scaled DESC, doc_id) AS rk
+       |  FROM lq)
+       |SELECT lang_pred, CAST(rk AS BIGINT) AS rk, doc_id, q_scaled
+       |FROM r WHERE rk <= 20 ORDER BY lang_pred, rk""".stripMargin
+
   /** Synthetic link-graph oracle scaffolding: the edge set re-derived in
     * HUGEINT SQL (mix64Chain of `doc_id·outDeg + k`, top bit shifted off
     * so the mod runs in non-negative BIGINT space on BOTH engines), plus
@@ -1727,6 +1773,25 @@ object SparkEntry {
         TextAnalysis.langId(s.read.parquet(s"$dir/documents.parquet")),
         "lang_pred", Map("en" -> 0.6), default = 0.1)
         .orderBy("doc_id")),
+    // deterministic global training-order permutation: rank in
+    // (mix64(id), id) order via the two-phase distributed prefix scan
+    // (no single-partition window); the oracle recomputes the hash in
+    // HUGEINT SQL and window-ranks over the same total order
+    "corpus_shuffle" -> ((s, dir) =>
+      Sampling.hashShuffle(s.read.parquet(s"$dir/documents.parquet"))
+        .select("doc_id", "shuffle_key", "pos").orderBy("doc_id")),
+    // corpus-vocabulary OOV coverage (CCNet-style filter): top-16 corpus
+    // vocab (count desc, token asc — deterministic cut), then per-doc
+    // integral (n_tokens, n_oov); the ratio double stays out of the gate
+    "text_vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(s.read.parquet(s"$dir/documents.parquet"))
+        .select("doc_id", "n_tokens", "n_oov").orderBy("doc_id")),
+    // per-language best-20 curation via the salted two-phase grouped
+    // top-k (no whole-corpus single-language window); salt-invariant
+    // output, all-integral gate columns
+    "corpus_lang_topk" -> ((s, dir) =>
+      TextAnalysis.langTopK(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy("lang_pred", "rk")),
     // GPT-style contiguous token-stream sharding via the two-phase
     // distributed prefix scan (no single-partition window); every
     // column a long, divisions integral (`div` ≡ DuckDB `//` on the
@@ -2078,6 +2143,9 @@ object SparkEntry {
         |ORDER BY n DESC, gram LIMIT 100""".stripMargin,
     "corpus_split" -> corpusSplitSql,
     "corpus_stratified" -> corpusStratifiedSql,
+    "corpus_shuffle" -> corpusShuffleSql,
+    "text_vocab_coverage" -> vocabCoverageSql,
+    "corpus_lang_topk" -> corpusLangTopkSql,
     // contiguous token-stream sharding: the oracle recomputes the global
     // prefix sum with a plain window; `//` ≡ Spark `div` on the
     // non-negative operands, every column BIGINT

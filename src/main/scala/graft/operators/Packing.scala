@@ -74,9 +74,15 @@ object Packing {
    * the window pass independent of core count (the bucket count must
    * not change the per-row work, and with the log-depth search it
    * doesn't), with a driver-side offset table of no consequence.
+   *
+   * `tieCols` extend the window ordering below `idCol` for callers whose
+   * id column is NOT unique (e.g. a 64-bit hash key): equal ids always
+   * land in the SAME bucket (the cut search is `>=`), so a bucket-local
+   * tie-break yields a total global order.
    */
   def withCumulativeWeight(df: DataFrame, idCol: String, wCol: String,
-                           cumName: String = "cum_w", buckets: Int = 0): DataFrame = {
+                           cumName: String = "cum_w", buckets: Int = 0,
+                           tieCols: Seq[String] = Nil): DataFrame = {
     val spark = df.sparkSession
     val b =
       if (buckets > 0) buckets
@@ -100,7 +106,7 @@ object Packing {
     import spark.implicits._
     val offDf = offsets.toSeq.toDF("_bkt", "_off")
     // pass 3: bucket-local window + broadcast offset
-    val w = Window.partitionBy("_bkt").orderBy(idCol)
+    val w = Window.partitionBy("_bkt").orderBy((idCol +: tieCols).map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     bucketed.join(broadcast(offDf), "_bkt")
       .withColumn(cumName, col("_off") + sum(col(wCol).cast("long")).over(w))

@@ -64,6 +64,36 @@ object Sampling {
       .withColumn("split", splitCol)
   }
 
+  /**
+   * Deterministic global training-order shuffle: every row gets a
+   * `shuffle_key` (splitmix64 of id+salt, top bit flipped so SIGNED key
+   * order ≡ UNSIGNED hash order — the DuckDB oracle derives the same
+   * value as `hash − 2^63` in HUGEINT space) and `pos`, its 0-based rank
+   * in (shuffle_key, id) order — the epoch order an LM trainer reads the
+   * corpus in. Changing `salt` reshuffles; the same salt always yields
+   * the same permutation, independent of partitioning and engine.
+   *
+   * Scale shape: the rank rides [[Packing.withCumulativeWeight]]'s
+   * two-phase distributed prefix scan over the key axis (quantile range
+   * buckets → per-bucket counts → bucket-local window + broadcast
+   * offsets) — NO unpartitioned window, no global sort barrier beyond
+   * the one bucket-keyed shuffle the trainer's writer needs anyway. Hash
+   * keys can collide at 64 bits, so the id is the window tie-break
+   * (equal keys provably land in the same bucket). Null ids are dropped
+   * (the module-wide null policy: a null id belongs to no sample and no
+   * training order).
+   */
+  def hashShuffle(docs: DataFrame, idCol: String = "doc_id", salt: Long = 0L): DataFrame = {
+    val keyUdf = udf((id: Long) => TextKit.mix64(id + salt) ^ Long.MinValue)
+    val keyed = docs.filter(col(idCol).isNotNull)
+      .withColumn("shuffle_key", keyUdf(col(idCol)))
+      .withColumn("__graft_one", lit(1L))
+    Packing.withCumulativeWeight(keyed, "shuffle_key", "__graft_one",
+      cumName = "__graft_rank", tieCols = Seq(idCol))
+      .withColumn("pos", col("__graft_rank") - 1)
+      .drop("__graft_one", "__graft_rank")
+  }
+
   /** Stable `fraction`-sample: rows whose bucket falls below
     * fraction·Buckets. The same salt always draws the same sample; a
     * larger fraction's sample is a SUPERSET of a smaller one's (nested

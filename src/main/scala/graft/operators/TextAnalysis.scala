@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.textkit.TextKit
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -150,6 +151,74 @@ object TextAnalysis {
       .groupBy("gram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("gram"))
       .limit(k)
+  }
+
+  /**
+   * Per-language best-k curation: for each predicted language, the k
+   * highest-quality docs under the total order (q_scaled desc, id asc) —
+   * the "keep the best N per language" selection step of a multilingual
+   * corpus build. A naive `Window.partitionBy(lang)` would funnel the
+   * whole corpus through ~|langs| partitions (the classic grouped-top-k
+   * skew); instead the standard SALTED two-phase cut: rank within
+   * (lang, hash(id) mod saltBuckets) and keep ≤ k per bucket — the global
+   * per-lang top-k is provably a subset of the union of per-bucket
+   * top-ks — then rank the surviving ≤ k·saltBuckets·|langs| candidates
+   * within lang. Stage 2's window is skew-free because its input is
+   * bounded by construction, independent of corpus size. Output is
+   * salt-invariant and integral: (lang_pred, rk, id, q_scaled).
+   */
+  def langTopK(docs: DataFrame, k: Int = 20, saltBuckets: Int = 32,
+               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1 && saltBuckets >= 1)
+    val scored = docs.select(col(idCol),
+      langIdUdf(col(textCol)).as("lang_pred"),
+      floor(qualityUdf(col(textCol)).getField("score") * 10000 + lit(0.5))
+        .cast("long").as("q_scaled"))
+    val order = Seq(col("q_scaled").desc, col(idCol).asc)
+    val w1 = Window.partitionBy(col("lang_pred"), col("__salt")).orderBy(order: _*)
+    val cand = scored.withColumn("__salt", pmod(hash(col(idCol)), lit(saltBuckets)))
+      .withColumn("__rk", row_number().over(w1)).filter(col("__rk") <= k)
+      .drop("__rk", "__salt")
+    val w2 = Window.partitionBy(col("lang_pred")).orderBy(order: _*)
+    cand.withColumn("rk", row_number().over(w2).cast("long")).filter(col("rk") <= k)
+      .select(col("lang_pred"), col("rk"), col(idCol), col("q_scaled"))
+  }
+
+  /**
+   * Vocabulary-coverage / OOV filter (the CCNet-style cut: drop docs
+   * whose tokens mostly fall outside the corpus' own top-`vocabSize`
+   * vocabulary). Two integer-exact phases: (1) the vocabulary — ONE
+   * token-keyed aggregation with map-side partial counts, top-k via a
+   * global TakeOrdered (no full sort), ties broken on the token string
+   * so the cut is deterministic; (2) the probe — the vocab (`vocabSize`
+   * rows) broadcasts onto the exploded token stream, so coverage costs
+   * no second shuffle beyond the final doc-keyed aggregation. Docs with
+   * zero tokens keep a row (n_tokens = n_oov = 0): a filter must see
+   * them to drop them, not lose them.
+   * Returns (id, n_tokens, n_oov, oov_ratio) — the integral
+   * (n_tokens, n_oov) pair is the hash-stable gate shape; the ratio is
+   * the derived convenience double (0 for empty docs).
+   */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int = 16,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(vocabSize >= 1)
+    val toks = when(length(trim(coalesce(col(textCol), lit("")))) === 0,
+      array().cast("array<string>"))
+      .otherwise(split(trim(col(textCol)), "\\s+"))
+    // explode_outer keeps empty docs as a single null-token row, so the
+    // doc-keyed agg emits their (0, 0) row without a second docs scan
+    val stream = docs.select(col(idCol), explode_outer(toks).as("tok"))
+    val vocab = stream.filter(col("tok").isNotNull)
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    stream.join(broadcast(vocab), Seq("tok"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(col("tok")).as("n_tokens"),
+        sum(when(col("tok").isNotNull && col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ratio",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(col("n_oov").cast("double") / col("n_tokens")))
   }
 
   /**

@@ -605,6 +605,79 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(Sampling.hashSample(withNull, 1.0).filter($"doc_id".isNull).count() == 0)
   }
 
+  test("hash shuffle: exact permutation, partitioning-invariant, salted") {
+    val out = Sampling.hashShuffle(docs).select("doc_id", "shuffle_key", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = docs.count()
+    assert(out.length == n)
+    // pos is a 0..n-1 bijection
+    assert(out.map(_._3).sorted.sameElements(0L until n), "pos must be a permutation")
+    // matches the local reference order: sort by (mix64(id)^MinValue, id)
+    val expected = out.map { case (id, _, _) => id }
+      .sortBy(id => (TextKit.mix64(id) ^ Long.MinValue, id)).zipWithIndex
+      .map { case (id, i) => id -> i.toLong }.toMap
+    out.foreach { case (id, key, pos) =>
+      assert(key == (TextKit.mix64(id) ^ Long.MinValue), s"key mismatch for $id")
+      assert(pos == expected(id), s"pos mismatch for $id")
+    }
+    // partitioning must not change the permutation
+    val rep = Sampling.hashShuffle(docs.repartition(13)).select("doc_id", "pos")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.map(t => t._1 -> t._3).toMap == rep)
+    // a different salt yields a different permutation; null ids drop
+    val salted = Sampling.hashShuffle(docs, salt = 7L).select("doc_id", "pos")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(salted != out.map(t => t._1 -> t._3).toMap)
+    val withNull = Seq((Option(1L), "a"), (Option.empty[Long], "b"), (Option(2L), "c"))
+      .toDF("doc_id", "text")
+    assert(Sampling.hashShuffle(withNull).filter($"doc_id".isNull).count() == 0)
+  }
+
+  test("vocab coverage: OOV counts against a hand-derived vocabulary") {
+    // vocabSize=3 over crafted: vocab = top-3 tokens by (count, token)
+    val tokens = crafted.collect().flatMap(_.getString(1).trim.split("\\s+"))
+    val vocab = tokens.groupBy(identity).view.mapValues(_.length).toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(3).map(_._1).toSet
+    val expected = crafted.collect().map { r =>
+      val tk = r.getString(1).trim.split("\\s+")
+      r.getLong(0) -> ((tk.length.toLong, tk.count(t => !vocab.contains(t)).toLong))
+    }.toMap
+    val out = TextAnalysis.vocabCoverage(crafted, vocabSize = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == expected)
+    // empty docs keep a (0, 0) row, ratio 0
+    val withEmpty = Seq((0L, "a b a"), (1L, "   "), (2L, "c a")).toDF("doc_id", "text")
+    val e = TextAnalysis.vocabCoverage(withEmpty, vocabSize = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(e(1L) == ((0L, 0L, 0.0)))
+    assert(e(0L) == ((3L, 1L, 1.0 / 3))) // vocab = {a}; b is OOV
+    assert(e(2L) == ((2L, 1L, 0.5)))
+  }
+
+  test("lang top-k: salted two-phase cut equals the direct ranking, salt-invariant") {
+    // independent reference: rank within lang over (q_scaled desc, id) locally
+    val scored = TextAnalysis.langId(docs)
+      .join(TextAnalysis.quality(docs).select($"doc_id",
+        floor($"quality_score" * 10000 + 0.5).cast("long").as("q_scaled")), "doc_id")
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    val expected = scored.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy(t => (-t._3, t._2)).take(5).zipWithIndex
+        .map { case ((l, id, q), i) => (l, i + 1L, id, q) }
+    }.toSet
+    val out = TextAnalysis.langTopK(docs, k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == expected)
+    // the salt-bucket count must not change the output (saltBuckets=1 is
+    // the unsalted direct ranking)
+    val unsalted = TextAnalysis.langTopK(docs, k = 5, saltBuckets = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(unsalted == out)
+    // and partitioning must not either
+    val rep = TextAnalysis.langTopK(docs.repartition(13), k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rep == out)
+  }
+
   test("top n-grams: counts and deterministic tie-break on the crafted corpus") {
     // "the quick brown fox jumps over the lazy dog and runs far away"
     // appears in docs 0,1,2 → its bigrams dominate
