@@ -1069,31 +1069,44 @@ object ScalingBench {
       def timed[A](f: => A): (A, Double) = {
         val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
       }
-      val (shufRow, shufSec) = timed(
-        graft.operators.Sampling.hashShuffle(docs)
+      // the shuffle only consumes ids, so it runs at ROW scale (16×n) on
+      // an id frame — at doc scale (n) the three fixed passes of the
+      // prefix scan dominate and the measurement reads the floor, not
+      // the operator
+      val sn = n * 16
+      val ids = s.range(0, sn, 1, cpus * 4).toDF("doc_id").persist(lvl)
+      ids.count()
+      def stageTask[A](f: => A): (A, Double) = {
+        val t0 = acc.ms.get(); val r = f; (r, (acc.ms.get() - t0) / 1e3)
+      }
+      val ((shufRow, shufTask), shufSec) = timed(stageTask(
+        graft.operators.Sampling.hashShuffle(ids)
           .agg(count(lit(1)).as("rows"), min("pos").as("mn"), max("pos").as("mx"),
-            sum("pos").as("sm"), expr("bit_xor(xxhash64(doc_id, pos))").as("digest")).head())
-      require(shufRow.getLong(0) == n && shufRow.getLong(1) == 0L &&
-        shufRow.getLong(2) == n - 1 && shufRow.getLong(3) == n * (n - 1) / 2,
+            sum("pos").as("sm"), expr("bit_xor(xxhash64(doc_id, pos))").as("digest")).head()))
+      require(shufRow.getLong(0) == sn && shufRow.getLong(1) == 0L &&
+        shufRow.getLong(2) == sn - 1 && shufRow.getLong(3) == sn * (sn - 1) / 2,
         "shuffle pos must be a 0..n-1 bijection")
-      val (topRow, topSec) = timed(
+      val ((topRow, topTask), topSec) = timed(stageTask(
         graft.operators.TextAnalysis.langTopK(docs, k = 100)
           .agg(count(lit(1)).as("rows"), max("rk").as("mxrk"),
-            expr("bit_xor(xxhash64(lang_pred, rk, doc_id, q_scaled))").as("digest")).head())
+            expr("bit_xor(xxhash64(lang_pred, rk, doc_id, q_scaled))").as("digest")).head()))
       require(topRow.getLong(1) <= 100L, "rank bound")
-      val (vocRow, vocSec) = timed(
+      val ((vocRow, vocTask), vocSec) = timed(stageTask(
         graft.operators.TextAnalysis.vocabCoverage(docs, vocabSize = 1000)
           .agg(count(lit(1)).as("rows"), sum("n_tokens").as("tok"), sum("n_oov").as("oov"),
-            expr("bit_xor(xxhash64(doc_id, n_tokens, n_oov))").as("digest")).head())
+            expr("bit_xor(xxhash64(doc_id, n_tokens, n_oov))").as("digest")).head()))
       require(vocRow.getLong(0) == n && vocRow.getLong(2) <= vocRow.getLong(1),
         "every doc reported; OOV ≤ tokens")
       s.stop()
       val taskSec = acc.ms.get() / 1e3
       println(
-        s"""{"metric":"curation_ops_scale","cpus":$cpus,"n":$n,""" +
-        s""""shuffle_sec":${f"$shufSec%.2f"},"shuffle_digest":${shufRow.getLong(4)},""" +
-        s""""topk_sec":${f"$topSec%.2f"},"topk_rows":${topRow.getLong(0)},"topk_digest":${topRow.getLong(2)},""" +
-        s""""vocab_sec":${f"$vocSec%.2f"},"vocab_oov":${vocRow.getLong(2)},"vocab_digest":${vocRow.getLong(3)},""" +
+        s"""{"metric":"curation_ops_scale","cpus":$cpus,"n":$n,"shuffle_n":$sn,""" +
+        s""""shuffle_sec":${f"$shufSec%.2f"},"shuffle_task_sec":${f"$shufTask%.1f"},""" +
+        s""""shuffle_digest":${shufRow.getLong(4)},""" +
+        s""""topk_sec":${f"$topSec%.2f"},"topk_task_sec":${f"$topTask%.1f"},""" +
+        s""""topk_rows":${topRow.getLong(0)},"topk_digest":${topRow.getLong(2)},""" +
+        s""""vocab_sec":${f"$vocSec%.2f"},"vocab_task_sec":${f"$vocTask%.1f"},""" +
+        s""""vocab_oov":${vocRow.getLong(2)},"vocab_digest":${vocRow.getLong(3)},""" +
         s""""task_sec":${f"$taskSec%.1f"},"exact_checks":"passed"}""")
 
     case "curate" :: cpusStr :: nStr :: Nil =>

@@ -839,6 +839,29 @@ object SparkEntry {
        |SELECT lang_pred, CAST(rk AS BIGINT) AS rk, doc_id, q_scaled
        |FROM r WHERE rk <= 20 ORDER BY lang_pred, rk""".stripMargin
 
+  /** Budget-apportionment oracle: the same largest-remainder arithmetic
+    * in HUGEINT SQL — floor share via `//`, remainder via `%`, leftover
+    * count = B − Σfloor, extras to the (r desc, host asc) rank prefix. */
+  private val crawlBudgetAllocSql =
+    """WITH hw AS (
+      |  SELECT doc_id % 50 AS host,
+      |         CASE WHEN trim(text)='' THEN 0
+      |              ELSE len(string_split_regex(trim(text),'\s+')) END AS w
+      |  FROM documents),
+      |agg AS (SELECT host, CAST(sum(w) AS BIGINT) AS weight
+      |        FROM hw GROUP BY host HAVING sum(w) > 0),
+      |tot AS (SELECT CAST(sum(weight) AS HUGEINT) AS tw FROM agg),
+      |base AS (SELECT host, weight,
+      |    CAST((CAST(weight AS HUGEINT) * 1000) // tw AS BIGINT) AS fl,
+      |    CAST((CAST(weight AS HUGEINT) * 1000) % tw AS BIGINT) AS r
+      |  FROM agg, tot),
+      |k AS (SELECT 1000 - sum(fl) AS extra FROM base),
+      |rk AS (SELECT host, weight, fl,
+      |       row_number() OVER (ORDER BY r DESC, host) AS rn FROM base)
+      |SELECT rk.host, rk.weight,
+      |       CAST(fl + CASE WHEN rn <= k.extra THEN 1 ELSE 0 END AS BIGINT) AS alloc
+      |FROM rk, k ORDER BY host""".stripMargin
+
   /** Synthetic link-graph oracle scaffolding: the edge set re-derived in
     * HUGEINT SQL (mix64Chain of `doc_id·outDeg + k`, top bit shifted off
     * so the mod runs in non-negative BIGINT space on BOTH engines), plus
@@ -1792,6 +1815,18 @@ object SparkEntry {
     "corpus_lang_topk" -> ((s, dir) =>
       TextAnalysis.langTopK(s.read.parquet(s"$dir/documents.parquet"))
         .orderBy("lang_pred", "rk")),
+    // largest-remainder fetch-budget apportionment across synthetic
+    // hosts (host = doc_id mod 50, weight = per-host token total):
+    // Σalloc == 1000 exactly; remainder ranks ride the distributed
+    // prefix scan, exact decimal arithmetic re-derived in HUGEINT SQL
+    "crawl_budget_alloc" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val hw = docs.select(pmod(col("doc_id"), lit(50)).as("host"),
+          when(length(trim(col("text"))) === 0, lit(0L))
+            .otherwise(size(split(trim(col("text")), "\\s+")).cast("long")).as("w"))
+        .groupBy("host").agg(sum("w").as("weight"))
+      CrawlBudget.allocate(hw, budget = 1000).orderBy("host")
+    }),
     // GPT-style contiguous token-stream sharding via the two-phase
     // distributed prefix scan (no single-partition window); every
     // column a long, divisions integral (`div` ≡ DuckDB `//` on the
@@ -2146,6 +2181,7 @@ object SparkEntry {
     "corpus_shuffle" -> corpusShuffleSql,
     "text_vocab_coverage" -> vocabCoverageSql,
     "corpus_lang_topk" -> corpusLangTopkSql,
+    "crawl_budget_alloc" -> crawlBudgetAllocSql,
     // contiguous token-stream sharding: the oracle recomputes the global
     // prefix sum with a plain window; `//` ≡ Spark `div` on the
     // non-negative operands, every column BIGINT

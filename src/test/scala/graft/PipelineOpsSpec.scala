@@ -678,6 +678,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rep == out)
   }
 
+  test("budget apportionment: largest-remainder exactness, ties, overflow") {
+    import graft.operators.CrawlBudget
+    // local BigInt reference of the same method
+    def ref(ws: Seq[(Long, Long)], b: Long): Map[Long, Long] = {
+      val pos = ws.filter(_._2 > 0)
+      val tw = BigInt(pos.map(_._2).sum)
+      val base = pos.map { case (h, w) => (h, w, (BigInt(w) * b) / tw, (BigInt(w) * b) % tw) }
+      val k = (BigInt(b) - base.map(_._3).sum).toLong
+      val extras = base.sortBy(t => (-t._4, t._1)).take(k.toInt).map(_._1).toSet
+      base.map(t => t._1 -> (t._3.toLong + (if (extras(t._1)) 1L else 0L))).toMap
+    }
+    // equal three-way tie: the leftover fetch goes to the smallest host
+    val tie = Seq((0L, 5L), (1L, 5L), (2L, 5L)).toDF("host", "weight")
+    val tieOut = CrawlBudget.allocate(tie, 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(tieOut == Map(0L -> 4L, 1L -> 3L, 2L -> 3L))
+    // random weights: Σalloc == budget exactly, matches the reference
+    val rnd = new scala.util.Random(42)
+    val ws = (0L until 40L).map(h => h -> (rnd.nextInt(10000).toLong + 1))
+    val out = CrawlBudget.allocate(ws.toDF("host", "weight"), 1234).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.values.sum == 1234L)
+    assert(out == ref(ws, 1234))
+    // w·B overflows a long (1e18 × 1e9): the decimal path must stay exact
+    val big = Seq((0L, 1000000000000000000L), (1L, 1000000000000000000L),
+      (2L, 1000000000000000000L)).toDF("host", "weight")
+    val bigOut = CrawlBudget.allocate(big, 1000000000L).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(bigOut.values.sum == 1000000000L)
+    assert(bigOut == Map(0L -> 333333334L, 1L -> 333333333L, 2L -> 333333333L))
+    // zero/negative weights and null hosts receive nothing and no row
+    val mixed = Seq((Option(0L), 7L), (Option(1L), 0L), (Option(2L), -3L),
+      (Option.empty[Long], 9L)).toDF("host", "weight")
+    val m = CrawlBudget.allocate(mixed, 5).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(m == Map(0L -> 5L))
+  }
+
   test("top n-grams: counts and deterministic tie-break on the crafted corpus") {
     // "the quick brown fox jumps over the lazy dog and runs far away"
     // appears in docs 0,1,2 → its bigrams dominate
