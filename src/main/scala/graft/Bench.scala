@@ -149,7 +149,7 @@ object Bench {
       "text_bpe_tokens", "multimodal_meta", "graph_pagerank",
       "corpus_token_shards", "search_tfidf_topk", "search_bm25_topk",
       "corpus_shuffle", "text_vocab_coverage", "corpus_lang_topk",
-      "crawl_budget_alloc")
+      "crawl_budget_alloc", "text_nfc_normalize")
 
     // untimed warmup: JIT + codegen + parquet footers, so the first timed
     // query measures the engine, not JVM cold start. The IVF fit also runs

@@ -839,6 +839,27 @@ object SparkEntry {
        |SELECT lang_pred, CAST(rk AS BIGINT) AS rk, doc_id, q_scaled
        |FROM r WHERE rk <= 20 ORDER BY lang_pred, rk""".stripMargin
 
+  /** Shared Spark/DuckDB injection: 3 of 4 docs get decomposed
+    * combining-mark sequences appended (e + U+0301 → é, A + U+030A → Å,
+    * plus an already-precomposed é that must pass through unchanged);
+    * every 4th doc stays ASCII so `changed` carries signal. Canonical
+    * composition of these pairs is stable across every Unicode version
+    * either engine could ship. */
+  private val nfcInjectExpr =
+    "CASE WHEN doc_id % 4 = 0 THEN text " +
+      "ELSE text || ' café Å éclair' END"
+
+  /** NFC oracle: DuckDB's utf8proc normalization must produce the
+    * byte-identical text (md5-compared) and the same code-point counts
+    * as java.text.Normalizer on the identically-injected input. */
+  private val textNfcNormalizeSql =
+    s"""WITH inj AS (SELECT doc_id, $nfcInjectExpr AS text FROM documents)
+       |SELECT doc_id, md5(nfc_normalize(text)) AS norm_md5,
+       |       (text <> nfc_normalize(text)) AS changed,
+       |       length(text) AS n_before,
+       |       length(nfc_normalize(text)) AS n_after
+       |FROM inj ORDER BY doc_id""".stripMargin
+
   /** Budget-apportionment oracle: the same largest-remainder arithmetic
     * in HUGEINT SQL — floor share via `//`, remainder via `%`, leftover
     * count = B − Σfloor, extras to the (r desc, host asc) rank prefix. */
@@ -1741,6 +1762,15 @@ object SparkEntry {
       TextAnalysis.repetitionRatio(s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), col("n_bigrams"), col("n_distinct"))
         .orderBy("doc_id")),
+    // Unicode NFC normalization over documents with deterministically
+    // injected combining-mark sequences (nfcInjectExpr — same literal
+    // runs in the oracle); gate compares md5 of the normalized text
+    "text_nfc_normalize" -> ((s, dir) =>
+      TextAnalysis.unicodeNormalize(
+        s.read.parquet(s"$dir/documents.parquet").withColumn("text", expr(nfcInjectExpr)))
+        .select(col("doc_id"), md5(col("text_nfc")).as("norm_md5"),
+          col("changed"), col("n_before"), col("n_after"))
+        .orderBy("doc_id")),
     // PII scrub over documents with deterministically injected emails /
     // IPv4s / phones (piiInjectExpr — same literal runs in the oracle)
     "text_pii_scrub" -> ((s, dir) =>
@@ -2182,6 +2212,7 @@ object SparkEntry {
     "text_vocab_coverage" -> vocabCoverageSql,
     "corpus_lang_topk" -> corpusLangTopkSql,
     "crawl_budget_alloc" -> crawlBudgetAllocSql,
+    "text_nfc_normalize" -> textNfcNormalizeSql,
     // contiguous token-stream sharding: the oracle recomputes the global
     // prefix sum with a plain window; `//` ≡ Spark `div` on the
     // non-negative operands, every column BIGINT

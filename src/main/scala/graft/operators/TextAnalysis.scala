@@ -153,6 +153,34 @@ object TextAnalysis {
       .limit(k)
   }
 
+  private val nfcUdf = udf((s: String) =>
+    java.text.Normalizer.normalize(Option(s).getOrElse(""),
+      java.text.Normalizer.Form.NFC))
+
+  /**
+   * Unicode NFC normalization — the first step of web-text ingest
+   * (Common-Crawl text mixes precomposed and combining-mark encodings of
+   * the same graphemes; every downstream hash — exact dedup, minhash
+   * shingles, fingerprints — silently misses duplicates across the two
+   * encodings unless the corpus is normalized first). Canonical
+   * composition only (NFC), never NFKC: compatibility folding is lossy
+   * (ligatures, ²→2) and belongs to a quality policy, not normalization.
+   * Row-local (one map pass, zero shuffles at any corpus size); both
+   * engines implement the same Unicode canonical-composition algorithm
+   * (java.text.Normalizer here, utf8proc in DuckDB's nfc_normalize), so
+   * the oracle compares md5 digests of the normalized text directly.
+   * Returns (id, text_nfc, changed, n_before, n_after) — char counts are
+   * CODE POINTS on both engines.
+   */
+  def unicodeNormalize(docs: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol), col(textCol).as("__orig"),
+      nfcUdf(col(textCol)).as("text_nfc"))
+      .select(col(idCol), col("text_nfc"),
+        (col("__orig") =!= col("text_nfc")).as("changed"),
+        length(col("__orig")).cast("long").as("n_before"),
+        length(col("text_nfc")).cast("long").as("n_after"))
+
   /**
    * Per-language best-k curation: for each predicted language, the k
    * highest-quality docs under the total order (q_scaled desc, id asc) —

@@ -678,6 +678,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rep == out)
   }
 
+  test("unicode NFC normalize: composition, pass-through, idempotence") {
+    // decomposed e+U+0301 and A+U+030A must compose; precomposed forms
+    // and plain ASCII must pass through byte-identically
+    val decomposed = "cafe\u0301 A\u030a"          // 8 code points
+    val composed = "caf\u00e9 \u00c5"              // 6 code points
+    val in = Seq(
+      (0L, decomposed),
+      (1L, composed), // already NFC - unchanged
+      (2L, "plain ascii"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.unicodeNormalize(in).filter($"doc_id" < 3).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(0L) == ((composed, true, 8L, 6L)))
+    assert(out(1L) == ((composed, false, 6L, 6L)))
+    assert(out(2L) == (("plain ascii", false, 11L, 11L)))
+    // null text normalizes to the empty string (the UDF null default);
+    // changed is null-propagating (null original compares as null)
+    val nullRow = TextAnalysis.unicodeNormalize(in).filter($"doc_id" === 3).head()
+    assert(nullRow.getString(1) == "" && nullRow.isNullAt(2) && nullRow.isNullAt(3))
+    // idempotence: normalizing the normalized output changes nothing
+    val again = TextAnalysis.unicodeNormalize(
+      TextAnalysis.unicodeNormalize(in).select($"doc_id", $"text_nfc".as("text")))
+      .collect().map(r => r.getBoolean(2))
+    assert(again.forall(_ == false))
+  }
+
   test("budget apportionment: largest-remainder exactness, ties, overflow") {
     import graft.operators.CrawlBudget
     // local BigInt reference of the same method
