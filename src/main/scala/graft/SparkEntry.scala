@@ -839,6 +839,37 @@ object SparkEntry {
        |SELECT lang_pred, CAST(rk AS BIGINT) AS rk, doc_id, q_scaled
        |FROM r WHERE rk <= 20 ORDER BY lang_pred, rk""".stripMargin
 
+  /** Shared Spark/DuckDB robots.txt body: per-doc sitemap URLs plus the
+    * cases a parser must survive — mixed-case key, key/colon whitespace,
+    * a full-line comment, a trailing comment, an empty value, and a
+    * duplicate (kept, document order). chr(10) is the line separator in
+    * both engines. */
+  private val robotsSitemapExpr =
+    "'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10) || " +
+      "'Sitemap: https://ex.org/s' || cast(doc_id % 3 AS string) || '.xml' || chr(10) || " +
+      "'  sItEmAp :   https://ex.org/alt' || cast(doc_id % 2 AS string) || '.xml  ' || chr(10) || " +
+      "'# Sitemap: https://ex.org/commented.xml' || chr(10) || " +
+      "'Sitemap: https://ex.org/tail.xml # trailing' || chr(10) || " +
+      "'Sitemap:' || chr(10) || " +
+      "'sitemap: https://ex.org/dup.xml' || chr(10) || " +
+      "'sitemap: https://ex.org/dup.xml'"
+
+  /** Sitemap-extraction oracle: an independent line-wise re-derivation
+    * (comment strip → trim → case-insensitive key match → value trim →
+    * drop empties) over the identically-injected robots body. */
+  private val robotsSitemapsSql =
+    s"""WITH rr AS (SELECT doc_id, string_split($robotsSitemapExpr, chr(10)) AS ln FROM documents),
+       |lx AS (SELECT doc_id, i, trim(regexp_replace(ln[i], '#.*$$', '')) AS line
+       |       FROM rr, LATERAL (SELECT unnest(generate_series(1, len(ln))) AS i)),
+       |sm AS (SELECT doc_id, i,
+       |              trim(regexp_extract(line, '(?i)^sitemap\\s*:(.*)$$', 1)) AS sitemap
+       |       FROM lx WHERE regexp_matches(line, '(?i)^sitemap\\s*:')),
+       |ok AS (SELECT doc_id, i, sitemap FROM sm WHERE sitemap <> '')
+       |SELECT doc_id,
+       |       row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS ord,
+       |       sitemap
+       |FROM ok ORDER BY doc_id, ord""".stripMargin
+
   /** Shared Spark/DuckDB injection: 3 of 4 docs get decomposed
     * combining-mark sequences appended (e + U+0301 → é, A + U+030A → Å,
     * plus an already-precomposed é that must pass through unchanged);
@@ -1762,6 +1793,18 @@ object SparkEntry {
       TextAnalysis.repetitionRatio(s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), col("n_bigrams"), col("n_distinct"))
         .orderBy("doc_id")),
+    // robots.txt Sitemap-directive extraction (frontier seeding) over an
+    // injected per-doc robots body (robotsSitemapExpr — same literal in
+    // the oracle); parser cases: mixed case, whitespace, comments, empty
+    // value, duplicates kept in document order
+    "robots_sitemaps" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), expr(robotsSitemapExpr).as("robots"))
+        .select(col("doc_id"),
+          posexplode(GraftFunctions.robots_sitemaps(col("robots")))
+            .as(Seq("ord", "sitemap")))
+        .select(col("doc_id"), col("ord").cast("long").as("ord"), col("sitemap"))
+        .orderBy("doc_id", "ord")),
     // Unicode NFC normalization over documents with deterministically
     // injected combining-mark sequences (nfcInjectExpr — same literal
     // runs in the oracle); gate compares md5 of the normalized text
@@ -2213,6 +2256,7 @@ object SparkEntry {
     "corpus_lang_topk" -> corpusLangTopkSql,
     "crawl_budget_alloc" -> crawlBudgetAllocSql,
     "text_nfc_normalize" -> textNfcNormalizeSql,
+    "robots_sitemaps" -> robotsSitemapsSql,
     // contiguous token-stream sharding: the oracle recomputes the global
     // prefix sum with a plain window; `//` ≡ Spark `div` on the
     // non-negative operands, every column BIGINT

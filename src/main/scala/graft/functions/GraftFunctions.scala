@@ -81,6 +81,10 @@ object GraftFunctions {
       case _                  => None
     })
 
+  /** Sitemap URLs listed in a robots.txt body, document order. */
+  val robots_sitemaps: UserDefinedFunction = udf((robots: String) =>
+    RobotsKit.sitemaps(Option(robots).getOrElse("")))
+
   // names THIS module registered, per session — so the skip-if-exists guard
   // can tell its own earlier registration (silent, expected) from a foreign
   // function squatting on the name (warned: it will shadow ours until the
@@ -111,5 +115,6 @@ object GraftFunctions {
     reg("extract_text_http", extract_text_http)
     reg("extract_text", extract_text)
     reg("robots_allowed", robots_allowed)
+    reg("robots_sitemaps", robots_sitemaps)
   }
 }

@@ -189,4 +189,27 @@ object RobotsKit {
   /** Crawl-delay (seconds) for the UA, for the politeness scheduler. */
   def crawlDelay(robots: String, userAgent: String): Option[Double] =
     parse(robots, userAgent).crawlDelay
+
+  /** Sitemap directives (Google robots spec: `Sitemap:` records are
+    * group-independent and case-insensitive and may appear anywhere in
+    * the file; the value is a full URL). Same line discipline as
+    * [[parse]] — BOM strip, '#'-comment strip, trim — emitted in
+    * document order with duplicates kept (fetching each listed sitemap
+    * is the caller's job; dedup belongs to the frontier). Beyond the
+    * reference (mikes_crawler never reads sitemaps): this is the
+    * frontier-SEEDING input a production crawl consumes next to the
+    * allow/deny gate. */
+  def sitemaps(robots: String): Vector[String] = {
+    val body = if (robots.startsWith("\uFEFF")) robots.substring(1) else robots
+    body.linesIterator.flatMap { rawLine =>
+      val hash = rawLine.indexOf('#')
+      val line = (if (hash >= 0) rawLine.substring(0, hash) else rawLine).trim
+      val colon = line.indexOf(':')
+      if (colon > 0 &&
+          line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT) == "sitemap") {
+        val v = line.substring(colon + 1).trim
+        if (v.nonEmpty) Some(v) else None
+      } else None
+    }.toVector
+  }
 }

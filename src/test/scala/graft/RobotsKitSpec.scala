@@ -156,6 +156,25 @@ class RobotsKitSpec extends AnyFunSuite {
     assert(allowed(dis, "https://e.com/dir/"))
   }
 
+  test("sitemap extraction: case, whitespace, comments, empties, duplicates, BOM") {
+    import RobotsKit.sitemaps
+    val body =
+      "﻿User-agent: *\n" +
+        "Disallow: /private\n" +
+        "Sitemap: https://ex.org/a.xml\n" +
+        "  sItEmAp :   https://ex.org/b.xml  \n" +
+        "# Sitemap: https://ex.org/commented.xml\n" +
+        "Sitemap: https://ex.org/c.xml # trailing comment\n" +
+        "Sitemap:\n" +
+        "sitemap: https://ex.org/dup.xml\n" +
+        "sitemap: https://ex.org/dup.xml\n"
+    assert(sitemaps(body) == Vector(
+      "https://ex.org/a.xml", "https://ex.org/b.xml", "https://ex.org/c.xml",
+      "https://ex.org/dup.xml", "https://ex.org/dup.xml"))
+    assert(sitemaps("") == Vector.empty)
+    assert(sitemaps("User-agent: *\nDisallow: /") == Vector.empty)
+  }
+
   test("pattern matcher unit table") {
     import RobotsKit.patternMatches
     assert(patternMatches("/", "/anything"))
