@@ -100,9 +100,18 @@ object Bpe {
         m.codePointCount(0, m.length) > 1 && !m.exists(_.isWhitespace)),
       "the end-of-word marker must be >= 2 codepoints and whitespace-free")
     val symsUdf = udf((w: String) => initialSyms(w, eowMarker))
+    // the corpus collapse is checkpointed ONCE (so no merge round ever
+    // re-scans the corpus); the merge chain itself stays LAZY between
+    // lineage cuts every `cutEvery` rounds — re-deriving ≤ cutEvery−1
+    // row-local merges over the word-TYPE frame costs microseconds, while
+    // a per-round localCheckpoint costs a full materialization job each
+    // round (guide §1.2: remove unnecessary passes; measured ~half the
+    // bpe bench time was these per-round jobs)
     var state = wordTypes(docs, textCol)
       .select(symsUdf(col("word")).as("syms"), col("cnt"))
       .localCheckpoint(true)
+    var lastCut = state
+    val cutEvery = 8
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var rank = 1
     var done = false
@@ -121,15 +130,19 @@ object Bpe {
           val Array(l, r) = best(0).getString(0).split(" ", 2) // symbols never contain spaces
           merges += Merge(rank, l, r, best(0).getLong(1))
           val mergeUdf = udf((syms: Seq[String]) => mergeOnce(syms.toIndexedSeq, l, r))
-          val next = state.select(mergeUdf(col("syms")).as("syms"), col("cnt"))
-            .localCheckpoint(true)
-          releaseCheckpoint(state)
-          state = next
+          state = state.select(mergeUdf(col("syms")).as("syms"), col("cnt"))
+          // bound plan depth for long merge chains (no cut after the final
+          // round — nothing reads the post-final state)
+          if (rank % cutEvery == 0 && rank < numMerges) {
+            state = state.localCheckpoint(true)
+            releaseCheckpoint(lastCut)
+            lastCut = state
+          }
           rank += 1
         }
       }
       merges.toSeq
-    } finally releaseCheckpoint(state)
+    } finally releaseCheckpoint(lastCut)
   }
 
   private def releaseCheckpoint(df: DataFrame): Unit =

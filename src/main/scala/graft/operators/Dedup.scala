@@ -362,7 +362,17 @@ object Dedup {
                    prefixCrossover: Double = 0.7, skewRatio: Double = 16.0): DataFrame = {
     if (threshold >= prefixCrossover)
       return ngramJaccardPrefixJoin(docs, textCol, idCol, k, threshold)
-    val grams = hashedGrams(docs, textCol, idCol, k).persist(CacheLvl)
+    // Low-threshold regime: the naive inverted-index join is the likely
+    // variant, and its d²-pair generation runs at the parallelism of the
+    // gram cache — which for a small (one-split) input is ONE task
+    // (measured 80.5 of 80.6 s single-task on the boilerplate corpus).
+    // Fan the DOCS out before the gram explosion — each doc's grams then
+    // co-locate in one task, so the broadcast self-join's map-side partial
+    // aggregation dedups each pair's ~|shared grams| instances locally
+    // (fanning the exploded grams instead scatters a doc's grams and the
+    // partial agg collapses: measured 84 MB → 1.5 GB pair shuffle + 34 GB
+    // spill). No-op at production split counts (guide §2.5).
+    val grams = hashedGrams(Parallelism.fanOutScan(docs), textCol, idCol, k).persist(CacheLvl)
     try {
       if (skewRatioOf(grams) > skewRatio) prefixJoinOnGrams(grams, threshold)
       else allPairsOnGrams(grams, threshold, Int.MaxValue)
@@ -407,7 +417,9 @@ object Dedup {
   def ngramJaccardAllPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                            k: Int = 3, threshold: Double = 0.5,
                            maxDf: Int = Int.MaxValue): DataFrame = {
-    val grams = hashedGrams(docs, textCol, idCol, k).persist(CacheLvl)
+    // docs-level fan-out before the gram explosion — see ngramJaccard's
+    // dispatch comment for why the fan-out must precede the explode
+    val grams = hashedGrams(Parallelism.fanOutScan(docs), textCol, idCol, k).persist(CacheLvl)
     try allPairsOnGrams(grams, threshold, maxDf) finally grams.unpersist()
   }
 
@@ -642,7 +654,7 @@ object Dedup {
     require(minLen >= 2, "minLen must be >= 2 (a 1-token window dedups single words)")
     val winKey = (win: Column) =>
       struct(xxhash64(win).as("h1"), xxhash64(lit(1), win).as("h2"))
-    val wins = docs
+    val wins = Parallelism.fanOutScan(docs)
       .select(col(idCol).as("id"),
         split(trim(coalesce(col(textCol), lit(""))), "\\s+").as("toks"))
       .filter(size(col("toks")) >= minLen)
@@ -793,7 +805,10 @@ object Dedup {
                             threshold: Double = 0.95): DataFrame = {
     val norm = (c: Column) =>
       sqrt(aggregate(c, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
-    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a")).withColumn("n_a", norm(col("v_a")))
+    // the nested-loop verify streams side `a`: fan a narrow scan out so
+    // the O(n²·dim) cosine work is not serialized into one task
+    val a = Parallelism.fanOutScan(emb)
+      .select(col(idCol).as("id_a"), col(vecCol).as("v_a")).withColumn("n_a", norm(col("v_a")))
     val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b")).withColumn("n_b", norm(col("v_b")))
     val dot = aggregate(zip_with(col("v_a"), col("v_b"), (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)

@@ -122,7 +122,8 @@ object LinkGraph {
   def pageRank(nodes: DataFrame, edges: DataFrame, idCol: String = "doc_id",
                iters: Int = 5, weightCol: Option[String] = None): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
-    val nodeIds = nodes.select(col(idCol).as("id")).persist(StorageLevel.MEMORY_AND_DISK)
+    val nodeIds = nodes.select(col(idCol).as("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodeIds.count()
     require(n > 0, "pageRank needs at least one node")
 
@@ -139,17 +140,34 @@ object LinkGraph {
     // it is EMPTY (typical for generated link graphs) the per-iteration
     // dangling-sum job is skipped entirely — at small per-round work the
     // extra driver round-trip per iteration was the dominant serial
-    // overhead in the scaling fit (t(c) = W/c + O)
-    val dangling = nodeIds.join(outDeg, Seq("id"), "left_anti")
+    // overhead in the scaling fit (t(c) = W/c + O). Derived from the
+    // CACHED edge table (its src set ≡ outDeg's keys), not from the raw
+    // edges input — the raw-edges branch re-ran the whole edge derivation
+    // (e.g. the synthetic-edge UDF + distinct) a third time.
+    val dangling = nodeIds.join(
+        edgesDeg.select(col("src").as("id")), Seq("id"), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val danglingCount = dangling.count()
 
     val teleport = (DampDen - DampNum) * Scale / DampDen
     var ranks = nodeIds.select(col("id"), lit(Scale).as("rank_fp"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    ranks.count()
-
-    for (_ <- 1 to iters) {
+    // Materialization policy (guide §1.2: remove unnecessary passes). A
+    // graph WITH dangling mass needs a driver-visible scalar (the dangling
+    // rank sum) every round, so each round must materialize. WITHOUT
+    // dangling mass — the common case here — iterations chain LAZILY into
+    // one plan executed as a single job, with a persist+count lineage cut
+    // every `cutEvery` rounds to bound plan growth. Integer arithmetic is
+    // exactly associative, so the result is bit-identical either way; the
+    // lazy chain just drops iters−1 materialization jobs (measured: the
+    // 5-round bench query ran 5 persist+count jobs of pure overhead).
+    var cached: DataFrame = null
+    if (danglingCount > 0L) {
+      ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+      ranks.count()
+      cached = ranks
+    }
+    val cutEvery = 8
+    for (i <- 1 to iters) {
       val dangleSum =
         if (danglingCount == 0L) 0L
         else dangling.join(ranks, Seq("id"))
@@ -164,10 +182,17 @@ object LinkGraph {
           (lit(teleport)
             + expr(s"($DampNum * coalesce(csum, 0)) div $DampDen")
             + lit(dangleTerm)).as("rank_fp"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
-      ranks.unpersist()
-      ranks = next
+      if (danglingCount > 0L || i == iters || i % cutEvery == 0) {
+        val mat = next.persist(StorageLevel.MEMORY_AND_DISK)
+        mat.count()
+        if (cached != null) cached.unpersist()
+        cached = mat
+        ranks = mat
+      } else ranks = next
+    }
+    if (iters == 0) { // contract: the returned ranks are materialized
+      ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+      ranks.count()
     }
     // the final ranks are materialized in their own cache; the scaffolding
     // caches can go (a post-eviction recompute would re-derive them from
