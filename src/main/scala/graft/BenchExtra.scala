@@ -88,6 +88,7 @@ object BenchExtra {
         val crawlN = rest.headOption.map(_.toLong)
           .getOrElse(sys.env.getOrElse("SPARK_GRAFT_CRAWL_N", "2000000").toLong)
         val crawlSpark = Bench.buildSession(crawlCpus, "graft-bench-extra-crawl")
+        if (sys.env.contains("SPARK_GRAFT_STAGE_LOG")) attachDetailedStageLogger(crawlSpark)
         val pagesDir = Bench.generatePages(crawlSpark, crawlN, 8, crawlCpus * 2)
         (1 to sys.env.getOrElse("SPARK_GRAFT_EXTRA_REPS", "1").toInt).foreach { _ =>
           val cb = Bench.crawlBench(crawlSpark, pagesDir, crawlN, 8)

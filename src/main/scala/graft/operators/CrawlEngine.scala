@@ -74,8 +74,23 @@ final case class CrawlConfig(
       * 0 = read seen straight from the committed parquet increments and
       * let the join shuffle it (fine while seen is round-sized). */
     seenBuckets: Int = 0,
-    /** frontier row-count under which the fetch join broadcasts the frontier */
-    broadcastFrontierMaxRows: Long = 2L * 1000 * 1000,
+    /** Frontier row-count under which the fetch join broadcasts the
+      * frontier. Scale-dependent (guide §3.1): broadcasting saves any
+      * shuffle of the pages side — decisive on a cluster where the pages
+      * table is the 100 TB side — but the broadcast relation itself costs
+      * rows×~120 B built serially on the driver and resident on every
+      * executor. Measured on this single-box bench: a 1.4M-row frontier
+      * broadcast (~170 MB relation) made the big crawl rounds 30-40%
+      * slower than the shuffle join (round 6: 8.0-10.4 s → 5.8-6.5 s;
+      * whole crawl 26-35 s → 22-31 s), so the local default caps the
+      * broadcast near the conventional tens-of-MB relation size.
+      * Production clusters should raise it (env override
+      * SPARK_GRAFT_FRONTIER_BCAST_MAX) to whatever relation size their
+      * executors comfortably hold, because the alternative there is
+      * re-shuffling a table orders of magnitude larger than any frontier. */
+    broadcastFrontierMaxRows: Long =
+      sys.env.get("SPARK_GRAFT_FRONTIER_BCAST_MAX").map(_.toLong)
+        .getOrElse(200L * 1000),
     /** host-hash shards for frontier partition lineage (north rule) */
     numShards: Int = 32,
     /** salt buckets splitting a skewed host inside the politeness window */

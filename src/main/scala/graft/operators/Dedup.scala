@@ -362,17 +362,14 @@ object Dedup {
                    prefixCrossover: Double = 0.7, skewRatio: Double = 16.0): DataFrame = {
     if (threshold >= prefixCrossover)
       return ngramJaccardPrefixJoin(docs, textCol, idCol, k, threshold)
-    // Low-threshold regime: the naive inverted-index join is the likely
-    // variant, and its d²-pair generation runs at the parallelism of the
-    // gram cache — which for a small (one-split) input is ONE task
-    // (measured 80.5 of 80.6 s single-task on the boilerplate corpus).
-    // Fan the DOCS out before the gram explosion — each doc's grams then
-    // co-locate in one task, so the broadcast self-join's map-side partial
-    // aggregation dedups each pair's ~|shared grams| instances locally
-    // (fanning the exploded grams instead scatters a doc's grams and the
-    // partial agg collapses: measured 84 MB → 1.5 GB pair shuffle + 34 GB
-    // spill). No-op at production split counts (guide §2.5).
-    val grams = hashedGrams(Parallelism.fanOutScan(docs), textCol, idCol, k).persist(CacheLvl)
+    // (The gram cache stays at the input's own parallelism here: at low
+    // thresholds on a CLEAN corpus the naive join's pair volume is ~the
+    // gram count — the fan-out's extra exchange and per-consumer stages
+    // cost more than they buy (measured +1.2 s at sf0.1) — and a skewed
+    // corpus dispatches to the prefix path, whose many light cache
+    // consumers also prefer the narrow cache. The explicit all-pairs
+    // entry below fans out, because there the d² blowup is certain.)
+    val grams = hashedGrams(docs, textCol, idCol, k).persist(CacheLvl)
     try {
       if (skewRatioOf(grams) > skewRatio) prefixJoinOnGrams(grams, threshold)
       else allPairsOnGrams(grams, threshold, Int.MaxValue)

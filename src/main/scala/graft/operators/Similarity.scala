@@ -64,10 +64,7 @@ object Similarity {
                      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val norm = (c: org.apache.spark.sql.Column) =>
       sqrt(aggregate(c, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
-    // the broadcast join streams the corpus side: fan a narrow scan out so
-    // the O(n·q·dim) cosine work runs on every core (no-op at scale)
-    val corp = Parallelism.fanOutScan(corpus)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val corp = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("cnorm", norm(col("cv")))
     val qs = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qnorm", norm(col("qv")))
@@ -123,8 +120,7 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
-    val feat = Parallelism.fanOutScan(corpus)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val feat = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("features", array_to_vector(col("cv").cast("array<double>")))
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(feat)
     val assigned = model.transform(feat).withColumnRenamed("prediction", "cell")
