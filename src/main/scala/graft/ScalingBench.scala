@@ -1083,8 +1083,14 @@ object ScalingBench {
         graft.operators.Sampling.hashShuffle(ids)
           .agg(count(lit(1)).as("rows"), min("pos").as("mn"), max("pos").as("mx"),
             sum("pos").as("sm"), expr("bit_xor(xxhash64(doc_id, pos))").as("digest")).head()))
+      // expected Σpos computed overflow-consistently: sn·(sn−1)/2 naively
+      // wraps mod 2^64 BEFORE the halving once sn ≳ 4.3e9, disagreeing
+      // with Spark's wrapped long sum (which equals the true Σ mod 2^64);
+      // dividing the even factor first keeps the two congruent at any sn
+      val expectedPosSum =
+        if (sn % 2 == 0) (sn / 2) * (sn - 1) else sn * ((sn - 1) / 2)
       require(shufRow.getLong(0) == sn && shufRow.getLong(1) == 0L &&
-        shufRow.getLong(2) == sn - 1 && shufRow.getLong(3) == sn * (sn - 1) / 2,
+        shufRow.getLong(2) == sn - 1 && shufRow.getLong(3) == expectedPosSum,
         "shuffle pos must be a 0..n-1 bijection")
       val ((topRow, topTask), topSec) = timed(stageTask(
         graft.operators.TextAnalysis.langTopK(docs, k = 100)

@@ -33,7 +33,16 @@ import org.apache.spark.sql.functions._
 object CrawlBudget {
 
   /** (hostCol, weight, alloc) — one row per positive-weight host;
-    * Σalloc == budget exactly (0 rows if no host has positive weight). */
+    * Σalloc == budget exactly (0 rows if no host has positive weight).
+    *
+    * Caching note: the host-sized intermediate below is persisted (four
+    * plan branches consume it) and, because the result is returned LAZY,
+    * cannot be unpersisted here. A scheduler calling allocate once per
+    * crawl round should clear it between rounds (consume the result,
+    * then `spark.sharedState.cacheManager.clearCache()` or re-create the
+    * session-scoped frame); otherwise the per-round host frames
+    * accumulate in storage until LRU eviction — harmless for
+    * correctness, but measurable memory pressure on long crawls. */
   def allocate(hostWeights: DataFrame, budget: Long,
                hostCol: String = "host", wCol: String = "weight"): DataFrame = {
     require(budget >= 0, "budget must be non-negative")

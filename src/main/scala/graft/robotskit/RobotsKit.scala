@@ -198,7 +198,16 @@ object RobotsKit {
     * is the caller's job; dedup belongs to the frontier). Beyond the
     * reference (mikes_crawler never reads sitemaps): this is the
     * frontier-SEEDING input a production crawl consumes next to the
-    * allow/deny gate. */
+    * allow/deny gate.
+    *
+    * Whitespace note (round-5 ADVICE): Java `trim` strips tabs/CR as
+    * well as spaces, while the `robots_sitemaps` oracle's DuckDB `trim`
+    * strips only spaces — the gate's injected fixture therefore uses
+    * only space indentation and LF line ends, and a tab-indented
+    * `\tSitemap:` line is a kit-only extension the oracle does not
+    * cover. Documented rather than narrowed: real robots.txt files do
+    * carry tab indentation and CRLF, and dropping them would lose
+    * sitemaps in production. */
   def sitemaps(robots: String): Vector[String] = {
     val body = if (robots.startsWith("\uFEFF")) robots.substring(1) else robots
     body.linesIterator.flatMap { rawLine =>
