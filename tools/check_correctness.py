@@ -72,8 +72,42 @@ def float_lint(name, cols, rows):
     return sorted(bad)
 
 
+# ---- oracle OUTPUT-TYPE lint (round-5 VERDICT "Missing #1") -----------------
+# DuckDB types a naked sum(BIGINT) as HUGEINT (int128); the driver's compare
+# path canonicalizes HUGEINT differently than the local fetchall path, which
+# is exactly what shipped the four red CORRECTNESS_r05 rows. DESCRIBE each
+# oracle and fail on any column type outside the portable set — EXCEPT the
+# four known pre-freeze offenders, whose oracle text optimization rounds may
+# not edit (they are recorded, not ignored).
+TYPE_OK_PREFIXES = ("BIGINT", "INTEGER", "SMALLINT", "TINYINT", "VARCHAR",
+                    "BOOLEAN", "TIMESTAMP", "DOUBLE", "FLOAT")
+# DOUBLE/FLOAT columns are separately policed by float_lint/FLOAT_OK below.
+KNOWN_HUGEINT = {  # frozen oracles; fix = CAST(... AS BIGINT) when unfrozen
+    "q1_agg", "text_corpus_stats", "text_vocab_coverage", "pipeline_report_e2e",
+}
+
+
+def type_lint(name, sql):
+    try:
+        desc = con.sql(f"DESCRIBE ({sql})").fetchall()
+    except Exception:
+        return []  # the main compare will surface real breakage
+    return sorted({f"{c}:{t}" for c, t, *_ in desc
+                   if not str(t).upper().startswith(TYPE_OK_PREFIXES)})
+
+
 fails = 0
 lint_hits = []
+type_hits = []
+for name in sorted(oracles):
+    bad_types = type_lint(name, oracles[name])
+    if bad_types:
+        if name in KNOWN_HUGEINT:
+            print(f"TYPE (known, frozen) {name}: {bad_types}")
+        else:
+            type_hits.append((name, bad_types))
+            print(f"TYPE-LINT {name}: non-portable oracle output type(s) "
+                  f"{bad_types} — CAST the final aggregate to BIGINT")
 for name in sorted(oracles):
     try:
         o = con.sql(oracles[name])
@@ -109,4 +143,7 @@ for name in sorted(oracles):
 print("FAILURES:", fails)
 if lint_hits:
     print("PORTABILITY-LINT:", len(lint_hits), "query(ies) emit unaudited float columns")
-sys.exit(1 if (fails or lint_hits) else 0)
+if type_hits:
+    print("TYPE-LINT:", len(type_hits),
+          "query(ies) emit non-portable oracle output types (HUGEINT class)")
+sys.exit(1 if (fails or lint_hits or type_hits) else 0)
